@@ -1,0 +1,201 @@
+"""PyTorch checkpoint -> JAX variables converter.
+
+Ingests the reference checkpoint layouts (basemodel.py:211-220,
+utils/export.py:23-28):
+
+* combined deploy ckpt: ``{'blk_det': {'cfg': dict, 'weights': state_dict},
+  'text_seg': state_dict, 'text_det': state_dict}``
+* single-component ckpts: ``{'cfg', 'weights'}`` (yolo) or
+  ``{'weights': state_dict, ...}`` (head training ckpts)
+
+and produces flax variables ``{'params': ..., 'batch_stats': ...}`` for the
+models in this package.  Weight layouts: conv OIHW->HWIO, transposed conv
+(I,O,kh,kw) -> spatially-flipped HWIO; BatchNorm weight/bias/running_mean/
+running_var -> scale/bias/mean/var.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Iterable, Mapping, Tuple
+
+import numpy as np
+
+# torch ConvTranspose2d module prefixes inside the heads (everything else 4D
+# is a regular conv).  reference basemodel.py:26 (double_conv_up_c3 conv.1),
+# :57 (upconv6.0), :99-102 (binarize.3/.6), :138-141 (thresh.3/.6).
+_CONVT_RE = re.compile(
+    r"(^|\.)((upconv\d+\.conv\.1)|(upconv6\.0)|(binarize\.[36])|(thresh\.[36]))\.weight$"
+)
+
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _convt_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (I, O, kh, kw) -> flipped HWIO."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _bn_prefixes(sd: Mapping[str, Any]) -> set:
+    return {k[: -len(".running_mean")] for k in sd if k.endswith(".running_mean")}
+
+
+def _translate_tokens(tokens: Iterable[str]) -> Tuple[str, ...]:
+    """Map torch module-path tokens to this package's linen names.
+
+    Rules:
+      model.{i} -> model_{i}          (yolo graph layers)
+      m.{j}     -> m_{j}              (C3 bottlenecks / Detect convs)
+      upconvK.conv.0 -> upconvK.c3; .conv.1 -> .up; .conv.2 -> .bn
+      down_conv1.conv -> down_conv1.c3
+      conv.N / binarize.N / thresh.N -> .../seqN  (DBHead sequentials)
+      upconv6.0 -> upconv6            (bare ConvT)
+    """
+    toks = list(tokens)
+    out = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if t == "model" and nxt is not None and nxt.isdigit():
+            out.append(f"model_{nxt}")
+            i += 2
+        elif t == "m" and nxt is not None and nxt.isdigit():
+            out.append(f"m_{nxt}")
+            i += 2
+        elif t.startswith("upconv") and nxt == "conv":
+            sub = toks[i + 2] if i + 2 < len(toks) else None
+            if sub in ("0", "1", "2"):
+                out.append(t)
+                out.append({"0": "c3", "1": "up", "2": "bn"}[sub])
+                i += 3
+            elif t == "upconv6":  # Sequential(ConvT, Sigmoid): upconv6.0.weight
+                out.append(t)
+                i += 2  # skip the '0'
+            else:
+                out.append(t)
+                i += 1
+        elif t == "upconv6" and nxt == "0":
+            out.append(t)
+            i += 2
+        elif t == "down_conv1" and nxt == "conv":
+            out.append(t)
+            out.append("c3")
+            i += 2
+        elif t in ("conv", "binarize", "thresh") and nxt is not None and nxt.isdigit():
+            out.append(t)
+            out.append(f"seq{nxt}")
+            i += 2
+        else:
+            out.append(t)
+            i += 1
+    return tuple(out)
+
+
+def convert_state_dict(sd: Mapping[str, Any], fused_bn_eps: float = 1e-3) -> Dict[str, Dict]:
+    """Convert one torch state dict into {'params': tree, 'batch_stats': tree}.
+
+    Handles conv+bn-fused checkpoints (the reference fuses the yolo graph at
+    load, models/yolov5/yolo.py:185-192): a ``X.conv.bias`` with no sibling
+    ``X.bn`` means the BN was folded away — we synthesize an exact-identity
+    BN (scale=1, mean=0, var=1-eps) carrying the fused bias.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    bn_pref = _bn_prefixes(sd)
+    for key, val in sd.items():
+        if key.endswith(".conv.bias"):
+            parent = key[: -len(".conv.bias")]
+            if f"{parent}.bn.weight" not in sd:
+                arr = _to_np(val)
+                path = _translate_tokens(parent.split("."))
+                c = arr.shape[0]
+                _set(params, path + ("bn", "scale"), np.ones(c, np.float32))
+                _set(params, path + ("bn", "bias"), arr.astype(np.float32))
+                _set(stats, path + ("bn", "mean"), np.zeros(c, np.float32))
+                _set(stats, path + ("bn", "var"), np.full(c, 1.0 - fused_bn_eps, np.float32))
+                continue
+        if key.endswith("num_batches_tracked"):
+            continue
+        if key.endswith((".anchors", ".anchor_grid")) or key in ("anchors", "anchor_grid", "stride"):
+            continue  # anchors/strides are static config in this package
+        arr = _to_np(val)
+        tokens = key.split(".")
+        leaf = tokens[-1]
+        prefix = ".".join(tokens[:-1])
+        path = _translate_tokens(tokens[:-1])
+        if prefix in bn_pref:
+            if leaf == "weight":
+                _set(params, path + ("scale",), arr)
+            elif leaf == "bias":
+                _set(params, path + ("bias",), arr)
+            elif leaf == "running_mean":
+                _set(stats, path + ("mean",), arr)
+            elif leaf == "running_var":
+                _set(stats, path + ("var",), arr)
+            continue
+        if leaf == "weight":
+            if arr.ndim == 4:
+                if _CONVT_RE.search(key):
+                    _set(params, path + ("kernel",), _convt_kernel(arr))
+                else:
+                    _set(params, path + ("kernel",), _conv_kernel(arr))
+            else:
+                _set(params, path + ("kernel",), arr)
+        elif leaf == "bias":
+            _set(params, path + ("bias",), arr)
+        else:
+            raise ValueError(f"unhandled torch key: {key}")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_combined_checkpoint(ckpt: Mapping[str, Any]) -> Tuple[Dict, dict]:
+    """Convert the combined deploy checkpoint into TextDetBase variables.
+
+    Returns (variables, yolo_cfg_dict). ``ckpt`` is the already-torch.load'ed
+    dict; pass strings through :func:`load_torch_file` first.
+    """
+    blk = ckpt["blk_det"]
+    cfg = blk.get("cfg") if isinstance(blk, Mapping) else None
+    blk_sd = blk["weights"] if isinstance(blk, Mapping) and "weights" in blk else blk
+    sub = {
+        "blk_det": convert_state_dict(blk_sd),
+        "text_seg": convert_state_dict(_unwrap(ckpt["text_seg"])),
+        "text_det": convert_state_dict(_unwrap(ckpt["text_det"])),
+    }
+    variables = {
+        "params": {k: v["params"] for k, v in sub.items()},
+        "batch_stats": {k: v["batch_stats"] for k, v in sub.items()},
+    }
+    return variables, cfg
+
+
+def _unwrap(sd: Mapping[str, Any]) -> Mapping[str, Any]:
+    return sd["weights"] if isinstance(sd, Mapping) and "weights" in sd else sd
+
+
+def load_torch_file(path: str) -> Any:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_textdet_base_variables(path: str) -> Tuple[Dict, dict]:
+    """Load a reference-format combined .pt and return TextDetBase variables."""
+    return convert_combined_checkpoint(load_torch_file(path))

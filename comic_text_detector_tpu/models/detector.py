@@ -1,0 +1,102 @@
+"""Composite models: fused 3-head inference net and train-time composition.
+
+``TextDetBase`` mirrors the reference inference net (basemodel.py:222-244):
+one forward = YOLO graph (detections + backbone taps) -> UNet head (mask +
+intermediate features) -> DB head (shrink/thresh maps).  Everything compiles
+to a single XLA graph; on TPU run it under jit with bf16 compute.
+
+``TextDetTrain`` mirrors the train-time composition (basemodel.py:162-209):
+frozen backbone (eval mode + stop_gradient), one trainable head selected by
+``forward_mode``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from comic_text_detector_tpu.config import OUT_INDICES, GraphSpec, backbone_spec, full_spec
+from comic_text_detector_tpu.constants import TEXTDET_DET, TEXTDET_INFERENCE, TEXTDET_MASK
+from comic_text_detector_tpu.models.heads import DBHead, UnetHead
+from comic_text_detector_tpu.models.yolo import YoloGraph
+
+Dtype = Any
+
+
+class TextDetBase(nn.Module):
+    """Fused inference net: (B,H,W,3) image in [0,1] ->
+    (blks (B,N,7), mask (B,H,W,1), lines (B,H,W,2)).
+
+    The YOLO graph runs with SiLU (its checkpoint's activation); the seg/det
+    heads run with the ``act`` the deployed checkpoint was trained with
+    ('leaky', reference inference.py:24,120).
+    """
+
+    spec: GraphSpec
+    act: str = "leaky"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        blks, z = YoloGraph(
+            spec=self.spec, out_indices=OUT_INDICES, act="silu", dtype=self.dtype, name="blk_det"
+        )(x.astype(self.dtype), detect=True)
+        mask, feats = UnetHead(act=self.act, dtype=self.dtype, name="text_seg")(
+            *z, forward_mode=TEXTDET_INFERENCE
+        )
+        lines = DBHead(64, act=self.act, dtype=self.dtype, name="text_det")(*feats)
+        return blks, mask, lines
+
+
+class TextDetTrain(nn.Module):
+    """Train-time composite: truncated backbone + UnetHead (+ DBHead).
+
+    ``forward_mode``:
+      * TEXTDET_MASK — returns the full-res mask (UNet training).
+      * TEXTDET_DET  — backbone + UNet trunk frozen, returns DBHead maps.
+
+    The backbone always runs in eval mode behind ``stop_gradient``
+    (reference basemodel.py:200-209 wraps it in no_grad and .eval()).
+    """
+
+    spec: GraphSpec  # backbone-only spec (config.backbone_spec())
+    act: str = "leaky"
+    dtype: Dtype = jnp.float32
+    with_db: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, forward_mode: int = TEXTDET_MASK, train: bool = False):
+        z = YoloGraph(
+            spec=self.spec, out_indices=OUT_INDICES, act="silu", dtype=self.dtype, name="backbone"
+        )(x.astype(self.dtype), train=False)
+        z = [jax.lax.stop_gradient(f) for f in z]
+        if forward_mode == TEXTDET_MASK:
+            return UnetHead(act=self.act, dtype=self.dtype, name="seg_net")(
+                *z, forward_mode=TEXTDET_MASK, train=train
+            )
+        # DB training: UNet trunk frozen too (basemodel.py:207-209).
+        feats = UnetHead(act=self.act, dtype=self.dtype, name="seg_net")(
+            *z, forward_mode=TEXTDET_DET, train=False
+        )
+        feats = [jax.lax.stop_gradient(f) for f in feats]
+        return DBHead(64, act=self.act, dtype=self.dtype, name="dbnet")(*feats, train=train)
+
+
+def build_inference_model(
+    cfg: Optional[dict] = None, act: str = "leaky", dtype: Dtype = jnp.float32
+) -> TextDetBase:
+    return TextDetBase(spec=full_spec(cfg), act=act, dtype=dtype)
+
+
+def build_train_model(
+    cfg: Optional[dict] = None, act: str = "leaky", dtype: Dtype = jnp.float32, with_db: bool = False
+) -> TextDetTrain:
+    return TextDetTrain(spec=backbone_spec(cfg), act=act, dtype=dtype, with_db=with_db)
+
+
+def init_variables(model: nn.Module, rng: jax.Array, input_size: int = 640, batch: int = 1, **kwargs):
+    x = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
+    return model.init(rng, x, **kwargs)

@@ -1,0 +1,202 @@
+"""Config-driven YOLOv5-style graph + Detect decode (JAX/NHWC).
+
+TPU-first re-design of the reference's ``Model``/``parse_model``/``Detect``
+(models/yolov5/yolo.py:7-259): the graph spec is resolved statically
+(config.parse_graph), the forward is a single traced pass with Python-level
+layer iteration (unrolled at trace time, no dynamic control flow), and the
+anchor-decode is fully vectorized with grids built at trace time from static
+shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from comic_text_detector_tpu.config import OUT_INDICES, GraphSpec
+from comic_text_detector_tpu.models import blocks
+from comic_text_detector_tpu.ops import nn as tnn
+
+Dtype = Any
+
+
+class Detect(nn.Module):
+    """Per-level 1x1 prediction convs + anchor decode.
+
+    Matches the reference Detect (models/yolov5/yolo.py:23-44): output rows
+    are ordered (level, anchor, row, col); xy/wh use the v5 decode
+    ``xy = (2σ-0.5+grid)·stride``, ``wh = (2σ)²·anchor``.
+    """
+
+    nc: int
+    anchors: Tuple[Tuple[float, ...], ...]  # pixel units per level
+    strides: Tuple[int, ...] = (8, 16, 32)
+    dtype: Dtype = jnp.float32
+
+    @property
+    def na(self) -> int:
+        return len(self.anchors[0]) // 2
+
+    @property
+    def no(self) -> int:
+        return self.nc + 5
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jax.Array], decode: bool = True
+    ) -> Tuple[Optional[jax.Array], List[jax.Array]]:
+        """Returns (decoded (B, Σ na·h·w, no) or None, raw per-level maps).
+
+        Raw maps are (B, na, h, w, no) — the layout the training loss uses.
+        """
+        na, no = self.na, self.no
+        raw: List[jax.Array] = []
+        decoded: List[jax.Array] = []
+        for i, f in enumerate(feats):
+            p = blocks.Conv2d(no * na, 1, use_bias=True, dtype=self.dtype, name=f"m_{i}")(f)
+            b, h, w, _ = p.shape
+            # (b,h,w,na*no) -> (b,na,h,w,no) to match torch's row ordering.
+            p = p.reshape(b, h, w, na, no).transpose(0, 3, 1, 2, 4)
+            raw.append(p)
+            if decode:
+                y = jax.nn.sigmoid(p.astype(jnp.float32))
+                gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
+                grid = jnp.stack([gx, gy], axis=-1)[None, None]  # (1,1,h,w,2)
+                anc = jnp.asarray(self.anchors[i], jnp.float32).reshape(1, na, 1, 1, 2)
+                xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * float(self.strides[i])
+                wh = jnp.square(y[..., 2:4] * 2.0) * anc
+                y = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+                decoded.append(y.reshape(b, na * h * w, no))
+        out = jnp.concatenate(decoded, axis=1) if decode else None
+        return out, raw
+
+
+def _build_layer(spec, act: str, dtype) -> Optional[nn.Module]:
+    """Instantiate the linen module for one LayerSpec (None for stateless ops)."""
+    name = f"model_{spec.index}"
+    m, a = spec.module, spec.args
+    if m == "Conv":
+        # args: (c1, c2, k[, s[, p[, g]]])
+        k = a[2] if len(a) > 2 else 1
+        s = a[3] if len(a) > 3 else 1
+        p = a[4] if len(a) > 4 else None
+        return blocks.ConvBnAct(a[1], k, s, p, act=act, dtype=dtype, name=name)
+    if m == "C3":
+        # args: (c1, c2, n[, shortcut])
+        shortcut = a[3] if len(a) > 3 else True
+        return blocks.C3(a[1], n=a[2], shortcut=shortcut, act=act, dtype=dtype, name=name)
+    if m == "SPPF":
+        return blocks.SPPF(a[1], k=a[2] if len(a) > 2 else 5, act=act, dtype=dtype, name=name)
+    if m == "SPP":
+        return blocks.SPP(a[1], ks=tuple(a[2]) if len(a) > 2 else (5, 9, 13), act=act, dtype=dtype, name=name)
+    if m == "Focus":
+        k = a[2] if len(a) > 2 else 1
+        return blocks.Focus(a[1], k, act=act, dtype=dtype, name=name)
+    if m == "Bottleneck":
+        return blocks.Bottleneck(a[1], act=act, dtype=dtype, name=name)
+    if m in ("Upsample", "Concat"):
+        return None
+    raise ValueError(f"unsupported module {m}")
+
+
+class YoloGraph(nn.Module):
+    """Sequential-with-skips executor of a resolved GraphSpec.
+
+    ``out_indices`` taps intermediate feature maps for the seg/det heads
+    (reference Model._forward_once, yolo.py:115-134).
+    """
+
+    spec: GraphSpec
+    out_indices: Tuple[int, ...] = OUT_INDICES
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        mods: Dict[int, nn.Module] = {}
+        for ls in self.spec.layers:
+            if ls.module == "Detect":
+                mods[ls.index] = Detect(
+                    nc=self.spec.nc,
+                    anchors=self.spec.anchors,
+                    strides=self.spec.strides,
+                    dtype=self.dtype,
+                    name=f"model_{ls.index}",
+                )
+            else:
+                mod = _build_layer(ls, self.act, self.dtype)
+                if mod is not None:
+                    mods[ls.index] = mod
+        self._mods = mods
+
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        detect: bool = False,
+        decode: bool = True,
+    ):
+        """Run the graph.
+
+        Returns:
+          - taps list z (if out_indices and not detect)
+          - (dets, z) (if detect) where dets is the decoded (B,N,no) tensor
+          - final layer output otherwise
+        """
+        saved: Dict[int, jax.Array] = {}
+        z: List[jax.Array] = []
+        dets = None
+        raw = None
+        y = x
+        for ls in self.spec.layers:
+            if ls.frm != -1:
+                if isinstance(ls.frm, tuple):
+                    inp = [y if j == -1 else saved[j] for j in ls.frm]
+                else:
+                    inp = saved[ls.frm]
+            else:
+                inp = y
+
+            if ls.module == "Concat":
+                y = jnp.concatenate(inp, axis=-1)
+            elif ls.module == "Upsample":
+                y = tnn.upsample_nearest2x(inp)
+            elif ls.module == "Detect":
+                dets, raw = self._mods[ls.index](inp, decode=decode)
+                y = dets if dets is not None else raw
+            else:
+                y = self._mods[ls.index](inp, train=train)
+
+            if ls.index in self.spec.save:
+                saved[ls.index] = y
+            if ls.index in self.out_indices:
+                z.append(y)
+
+        if self.out_indices:
+            if detect:
+                return (dets if decode else raw), z
+            return z
+        return y
+
+
+def initialize_detect_biases(params: dict, spec: GraphSpec, img_size: int = 640) -> dict:
+    """Apply the focal-loss-style prior to Detect conv biases
+    (reference Model._initialize_biases, yolo.py:170-178). Pure pytree edit."""
+    detect_idx = spec.layers[-1].index
+    key = f"model_{detect_idx}"
+    na = len(spec.anchors[0]) // 2
+    nc = spec.nc
+    out = jax.tree_util.tree_map(lambda v: v, params)  # shallow-ish copy
+    det = dict(out[key])
+    for i, s in enumerate(spec.strides):
+        sub = dict(det[f"m_{i}"])
+        b = jnp.asarray(sub["bias"]).reshape(na, -1)
+        b = b.at[:, 4].add(math.log(8 / (img_size / s) ** 2))
+        b = b.at[:, 5:].add(math.log(0.6 / (nc - 0.999999)))
+        sub["bias"] = b.reshape(-1)
+        det[f"m_{i}"] = sub
+    out[key] = det
+    return out

@@ -1,0 +1,128 @@
+"""Load the reference PyTorch implementation as a numerical oracle.
+
+The reference at /root/reference is executed (never copied) to produce golden
+outputs for parity tests — the strategy SURVEY.md §4 prescribes.  Several of
+its third-party deps are absent in this image (torchvision, shapely,
+pyclipper, torchsummary, wandb, onnx, trdg); we stub just enough for the
+modules under test to import.
+"""
+
+from __future__ import annotations
+
+import copy
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def _stub(name: str, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+_loaded = False
+
+
+def load_reference():
+    """Import the reference modules (basemodel, models.yolov5.*) with stubs."""
+    global _loaded
+    if _loaded:
+        import basemodel  # type: ignore
+
+        return basemodel
+    try:
+        import pkg_resources  # noqa: F401
+    except ImportError:
+        class _V:
+            def __init__(self, s):
+                self.parts = tuple(int(p) for p in s.split(".")[:3] if p.isdigit())
+
+            def __ge__(self, o):
+                return self.parts >= o.parts
+
+            def __eq__(self, o):
+                return self.parts == o.parts
+
+        _stub("pkg_resources", parse_version=lambda s: _V(s))
+    _stub("torchsummary", summary=lambda *a, **k: None)
+    _stub("wandb", init=lambda **k: None)
+    tv = _stub("torchvision")
+    tv.ops = _stub("torchvision.ops", nms=None)
+    sh = _stub("shapely")
+    sh.geometry = _stub("shapely.geometry", Polygon=None)
+    _stub("pyclipper", PyclipperOffset=None, JT_ROUND=2, ET_CLOSEDPOLYGON=1)
+    _stub("numexpr", detect_number_of_cores=lambda: 1)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import basemodel  # type: ignore  # noqa: F401
+
+    _loaded = True
+    return basemodel
+
+
+def torch_cfg(cfg: dict) -> dict:
+    """Convert this package's cfg dict into the reference parse_model format
+    (module names are eval()'d strings there; Upsample is 'nn.Upsample')."""
+    out = copy.deepcopy(cfg)
+    for section in ("backbone", "head"):
+        for row in out[section]:
+            if row[2] == "Upsample":
+                row[2] = "nn.Upsample"
+            if row[2] == "Detect":
+                row[3] = ["nc", "anchors"]  # parse_model eval()s these names
+    return out
+
+
+def build_torch_yolo(cfg: dict, seed: int = 0, fuse: bool = False, out_indices=(1, 3, 5, 7, 9)):
+    """Instantiate the reference Model with randomized weights+running stats."""
+    load_reference()
+    import torch
+    from models.yolov5.yolo import Model  # type: ignore
+
+    torch.manual_seed(seed)
+    model = Model(torch_cfg(cfg))
+    model = model.float().eval()
+    _randomize_bn(model, seed)
+    if fuse:
+        model = model.fuse()
+    model.out_indices = list(out_indices)
+    return model
+
+
+def _randomize_bn(model, seed: int = 0):
+    """Give running stats non-trivial values so mean/var mix-ups fail tests."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed + 1)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.75)
+
+
+def build_torch_unet(act="leaky", seed: int = 0):
+    load_reference()
+    import torch
+    from basemodel import UnetHead  # type: ignore
+
+    torch.manual_seed(seed)
+    head = UnetHead(act=act).float().eval()
+    _randomize_bn(head, seed)
+    return head
+
+
+def build_torch_dbhead(act="leaky", seed: int = 0, shrink_with_sigmoid=True):
+    load_reference()
+    import torch
+    from basemodel import DBHead  # type: ignore
+
+    torch.manual_seed(seed)
+    head = DBHead(64, act=act, shrink_with_sigmoid=shrink_with_sigmoid).float().eval()
+    _randomize_bn(head, seed)
+    return head
