@@ -1,0 +1,234 @@
+"""DB (differentiable binarization) map -> text-line polygons.
+
+TPU-first split of the reference SegDetectorRepresenter
+(utils/db_utils.py:32-211):
+
+* device: binarize the shrink map, label components, reduce per-component
+  bbox/area/probability-sum (ops/cc.py) — the O(H·W) pixel work.
+* host: per component (dozens), convex hull -> rotating-calipers min-area
+  rect -> closed-form unclip (rect Minkowski-inflation replaces
+  pyclipper JT_ROUND offset + second minAreaRect) -> reference corner
+  ordering + clipping (ops/geometry.py).
+
+Scores are exact component means of the probability map (the reference's
+box_score_fast fills the outer contour; identical for hole-free components,
+and holey low-score components are filtered by box_thresh downstream).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from comic_text_detector_tpu.constants import MAX_DB_COMPONENTS
+from comic_text_detector_tpu.ops import geometry as geo
+from comic_text_detector_tpu.ops.cc import ComponentStats, component_stats, connected_components
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def db_device_decode(shrink_map: jax.Array, thresh, capacity: int = MAX_DB_COMPONENTS) -> ComponentStats:
+    """Device half: (H, W) prob map -> component stats (+ compact label map)."""
+    bitmap = shrink_map > thresh
+    labels = connected_components(bitmap, 8)
+    return component_stats(labels, shrink_map, capacity)
+
+
+def _component_points(labels_np: np.ndarray, idx: int, bbox) -> np.ndarray:
+    x0, y0, x1, y1 = bbox
+    win = labels_np[y0 : y1 + 1, x0 : x1 + 1] == idx
+    ys, xs = np.nonzero(win)
+    return np.stack([xs + x0, ys + y0], axis=1).astype(np.float64)
+
+
+def boxes_from_stats(
+    stats: ComponentStats,
+    dest_width: int,
+    dest_height: int,
+    src_width: int,
+    src_height: int,
+    unclip_ratio: float = 1.5,
+    min_sside: float = 2.0,
+    max_candidates: int = 1000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host half: stats -> (N,4,2) quad boxes + (N,) scores.
+
+    Mirrors boxes_from_bitmap (db_utils.py:123-166): min-area rect per
+    component, skip short sides < 2, unclip by area·ratio/perimeter, rescale
+    to dest size, round+clip.
+    """
+    labels_np = np.asarray(stats.compact_labels)
+    area = np.asarray(stats.area)
+    vsum = np.asarray(stats.value_sum)
+    xmin, ymin = np.asarray(stats.xmin), np.asarray(stats.ymin)
+    xmax, ymax = np.asarray(stats.xmax), np.asarray(stats.ymax)
+
+    boxes: List[np.ndarray] = []
+    scores: List[float] = []
+    n = 0
+    for i in range(1, len(area)):
+        if area[i] <= 0:
+            continue
+        n += 1
+        if n > max_candidates:
+            break
+        pts = _component_points(labels_np, i, (xmin[i], ymin[i], xmax[i], ymax[i]))
+        box, sside = geo.mini_box(pts)
+        if sside < min_sside:
+            continue
+        score = float(vsum[i] / area[i])
+        _, (w, h) = geo.min_area_rect(pts)
+        per = 2.0 * (w + h)
+        distance = (w * h) * unclip_ratio / per if per > 0 else 0.0
+        box = geo.order_rect_points(geo.inflate_rect(box, distance))
+        box[:, 0] = np.clip(np.round(box[:, 0] / src_width * dest_width), 0, dest_width)
+        box[:, 1] = np.clip(np.round(box[:, 1] / src_height * dest_height), 0, dest_height)
+        boxes.append(box.astype(np.int32))
+        scores.append(score)
+    if boxes:
+        return np.stack(boxes), np.asarray(scores, np.float32)
+    return np.zeros((0, 4, 2), np.int32), np.zeros((0,), np.float32)
+
+
+def polygons_from_stats(
+    stats: ComponentStats,
+    dest_width: int,
+    dest_height: int,
+    src_width: int,
+    src_height: int,
+    unclip_ratio: float = 1.5,
+    box_thresh: float = 0.7,
+    min_size: float = 3.0,
+    max_candidates: int = 1000,
+) -> Tuple[List[np.ndarray], List[float]]:
+    """Polygon-output mode (polygons_from_bitmap, db_utils.py:74-121):
+    boundary trace -> Douglas-Peucker simplify (0.5% of arc length) ->
+    score filter -> round-join polygon offset -> rescale."""
+    labels_np = np.asarray(stats.compact_labels)
+    area = np.asarray(stats.area)
+    vsum = np.asarray(stats.value_sum)
+    xmin, ymin = np.asarray(stats.xmin), np.asarray(stats.ymin)
+    xmax, ymax = np.asarray(stats.xmax), np.asarray(stats.ymax)
+
+    polys: List[np.ndarray] = []
+    scores: List[float] = []
+    n = 0
+    for i in range(1, len(area)):
+        if area[i] <= 0:
+            continue
+        n += 1
+        if n > max_candidates:
+            break
+        x0, y0, x1, y1 = xmin[i], ymin[i], xmax[i], ymax[i]
+        win = labels_np[y0 : y1 + 1, x0 : x1 + 1] == i
+        contour = trace_boundary(win)
+        if len(contour) < 4:
+            continue
+        contour = contour + np.array([x0, y0])
+        eps = 0.005 * geo.perimeter(contour.astype(np.float64))
+        approx = douglas_peucker_closed(contour.astype(np.float64), eps)
+        if len(approx) < 4:
+            continue
+        score = float(vsum[i] / area[i])
+        if score < box_thresh:
+            continue
+        expanded = geo.offset_polygon(approx, _poly_unclip_distance(approx, unclip_ratio))
+        if len(expanded) < 3:
+            continue
+        _, sside = geo.mini_box(expanded)
+        if sside < min_size + 2:
+            continue
+        out = expanded.copy()
+        out[:, 0] = np.clip(np.round(out[:, 0] / src_width * dest_width), 0, dest_width)
+        out[:, 1] = np.clip(np.round(out[:, 1] / src_height * dest_height), 0, dest_height)
+        polys.append(out.astype(np.int32))
+        scores.append(score)
+    return polys, scores
+
+
+def _poly_unclip_distance(poly: np.ndarray, unclip_ratio: float) -> float:
+    a = abs(geo.shoelace_area(poly))
+    p = geo.perimeter(poly)
+    return a * unclip_ratio / p if p > 0 else 0.0
+
+
+_MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+
+
+def trace_boundary(mask: np.ndarray) -> np.ndarray:
+    """Moore-neighbor boundary trace of the largest True region in ``mask``.
+
+    Returns (N,2) int (x, y) boundary pixel coordinates in order — the
+    cv2.findContours outer-contour analog.
+    """
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.zeros((0, 2), np.int64)
+    start = (ys[0], xs[0])  # topmost-leftmost (row-major first)
+    h, w = mask.shape
+
+    def at(p):
+        y, x = p
+        return 0 <= y < h and 0 <= x < w and mask[y, x]
+
+    contour = [start]
+    # backtrack starts pointing "up-left" of start per Moore tracing
+    prev_dir = 6  # coming from the left
+    cur = start
+    for _ in range(4 * mask.size):
+        found = False
+        for k in range(8):
+            d = (prev_dir + 1 + k) % 8
+            ny, nx = cur[0] + _MOORE[d][0], cur[1] + _MOORE[d][1]
+            if at((ny, nx)):
+                if (ny, nx) == start and len(contour) > 1:
+                    return np.array([(x, y) for y, x in contour], np.int64)
+                contour.append((ny, nx))
+                cur = (ny, nx)
+                prev_dir = (d + 4) % 8  # new backtrack = opposite of arrival
+                found = True
+                break
+        if not found:  # isolated pixel
+            break
+    return np.array([(x, y) for y, x in contour], np.int64)
+
+
+def douglas_peucker_closed(poly: np.ndarray, eps: float) -> np.ndarray:
+    """Ramer–Douglas–Peucker simplification of a closed polygon
+    (cv2.approxPolyDP(closed=True) analog): split at the two farthest points,
+    simplify both open chains."""
+    n = len(poly)
+    if n < 3:
+        return poly
+    i0 = 0
+    d = np.linalg.norm(poly - poly[i0], axis=1)
+    i1 = int(np.argmax(d))
+    if i1 == 0:
+        return poly[:1]
+    chain1 = poly[i0 : i1 + 1]
+    chain2 = np.vstack([poly[i1:], poly[:1]])
+    s1 = _dp_open(chain1, eps)
+    s2 = _dp_open(chain2, eps)
+    return np.vstack([s1[:-1], s2[:-1]])
+
+
+def _dp_open(pts: np.ndarray, eps: float) -> np.ndarray:
+    if len(pts) < 3:
+        return pts
+    a, b = pts[0], pts[-1]
+    ab = b - a
+    nrm = np.linalg.norm(ab)
+    if nrm < 1e-12:
+        d = np.linalg.norm(pts - a, axis=1)
+    else:
+        rel = pts - a
+        d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / nrm
+    i = int(np.argmax(d))
+    if d[i] > eps:
+        left = _dp_open(pts[: i + 1], eps)
+        right = _dp_open(pts[i:], eps)
+        return np.vstack([left[:-1], right])
+    return np.vstack([a, b])
