@@ -1,0 +1,185 @@
+"""DB-head training dataset (img + ``line-*.txt`` 8-coord polygons).
+
+Torch-free re-design of the reference LoadImageAndAnnotations
+(db_dataset.py:43-248): same pairing/normalization conventions, rotation
+augment with polygon rotation, per-sample shrink/border map generation, and
+ragged-aware batching (text_polys kept as lists for the val metric).
+"""
+
+from __future__ import annotations
+
+import glob
+import os.path as osp
+import random
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from comic_text_detector_tpu.data.augment import augment_hsv, flip_lr, negate, rotate_image_and_polys
+from comic_text_detector_tpu.data.maps import MakeBorderMap, MakeShrinkMap
+from comic_text_detector_tpu.data.seg_dataset import PrefetchLoader
+from comic_text_detector_tpu.ops.resize import letterbox_np, resize_keepasp_np
+from comic_text_detector_tpu.utils.io import IMG_EXT, imread
+
+
+class DBDataset:
+    def __init__(
+        self,
+        img_dir,
+        ann_dir=None,
+        img_size: int = 640,
+        augment: bool = False,
+        aug_param: Optional[dict] = None,
+        cache: bool = False,
+        stride: int = 128,
+        with_ann: bool = False,
+        seed: int = 0,
+    ):
+        self.img_dir = [img_dir] if isinstance(img_dir, str) else list(img_dir)
+        if not ann_dir:
+            self.ann_dir = self.img_dir
+        else:
+            self.ann_dir = [ann_dir] if isinstance(ann_dir, str) else list(ann_dir)
+        self.with_ann = with_ann
+        self.make_border_map = MakeBorderMap(shrink_ratio=0.4)
+        self.make_shrink_map = MakeShrinkMap(shrink_ratio=0.4)
+        self.base_size = img_size
+        self.img_size: Tuple[int, int] = (img_size, img_size)
+        self.stride = stride
+        self._augment = augment
+        self._rng = random.Random(seed)
+        if augment:
+            ap = aug_param or {}
+            self._mini_mosaic = ap.get("mini_mosaic", 0.0)
+            self._augment_hsv = ap.get("hsv", 0.0)
+            self._flip_lr = ap.get("flip_lr", 0.0)
+            self._neg = ap.get("neg", 0.0)
+            self._rotate = ap.get("rotate", 0.0)
+            self.rotate_range = ap.get("rotate_range", [-70, 70])
+            size_range = ap.get("size_range", [-1])
+            if isinstance(size_range, list) and size_range[0] > 0:
+                mn = round(img_size * size_range[0] / stride) * stride
+                mx = round(img_size * size_range[1] / stride) * stride
+                self.valid_size = np.arange(mn, mx + 1, stride)
+                self.multi_size = True
+            else:
+                self.valid_size = None
+                self.multi_size = False
+
+        self.img_ann_list: List[Tuple[str, str]] = []
+        for d in self.img_dir:
+            for filep in sorted(glob.glob(osp.join(d, "*"))):
+                suffix = Path(filep).suffix
+                if suffix.lower() not in IMG_EXT:
+                    continue
+                annname = "line-" + osp.basename(filep).replace(suffix, ".txt")
+                for ad in self.ann_dir:
+                    annp = osp.join(ad, annname)
+                    if osp.exists(annp):
+                        self.img_ann_list.append((filep, annp))
+
+    def __len__(self) -> int:
+        return len(self.img_ann_list)
+
+    def initialize(self) -> None:
+        if self._augment and getattr(self, "multi_size", False):
+            s = int(self._rng.choice(list(self.valid_size)))
+            self.img_size = (s, s)
+
+    def load_item(self, i: int, max_size=None):
+        imp, annp = self.img_ann_list[i]
+        img = imread(imp)
+        im_h, im_w = img.shape[:2]
+        ann = np.loadtxt(annp)
+        if ann.ndim == 1:
+            ann = ann[None]
+        ann = ann.astype(np.float64)
+        ann[:, ::2] /= im_w
+        ann[:, 1::2] /= im_h
+        ann = ann.reshape(len(ann), -1, 2)
+        if max_size is not None:
+            if isinstance(max_size, tuple):
+                max_size = max_size[0]
+            img = resize_keepasp_np(img, max_size)
+        return img, ann
+
+    def mini_mosaic(self, img, ann):
+        im_h, im_w = img.shape[:2]
+        idx = self._rng.randint(0, len(self) - 1)
+        img2, ann2 = self.load_item(idx, self.img_size)
+        img2_h, img2_w = img2.shape[:2]
+        if img2_h > img2_w:
+            H = max(im_h, img2_h)
+            W = im_w + img2_w
+            im_tmp = np.zeros((H, W, 3), np.uint8)
+            im_tmp[:im_h, :im_w] = img
+            im_tmp[:img2_h, im_w:] = img2
+            ann = ann.copy()
+            ann[:, :, 0] = ann[:, :, 0] * im_w / W
+            ann[:, :, 1] = ann[:, :, 1] * im_h / H
+            if ann2.shape[0] > 0:
+                ann2 = ann2.copy()
+                ann2[:, :, 0] = ann2[:, :, 0] * img2_w / W + im_w / W
+                ann2[:, :, 1] = ann2[:, :, 1] * img2_h / H
+                ann = np.concatenate((ann, ann2))
+            return im_tmp, ann
+        return img, ann
+
+    def _apply_augment(self, img, ann):
+        im_h, im_w = img.shape[:2]
+        if im_h > im_w and self._rng.random() < self._mini_mosaic:
+            img, ann = self.mini_mosaic(img, ann)
+        if self._rng.random() < self._augment_hsv:
+            img = np.ascontiguousarray(img)
+            augment_hsv(img)
+        if self._rng.random() < self._flip_lr:
+            img = flip_lr(img)
+            ann = ann.copy()
+            ann[:, :, 0] = 1 - ann[:, :, 0]
+        if self._rng.random() < self._neg:
+            img = negate(img)
+        if self._rng.random() < self._rotate:
+            degrees = self._rng.uniform(self.rotate_range[0], self.rotate_range[1])
+            if abs(degrees) > 15:
+                img, ann = rotate_image_and_polys(img, ann, degrees)
+        return img, ann
+
+    def __getitem__(self, idx: int) -> dict:
+        img, ann = self.load_item(idx, self.img_size)
+        if self._augment:
+            img, ann = self._apply_augment(img, ann)
+        ignore_tags = [False] * ann.shape[0]
+        img, _, (dw, dh) = letterbox_np(img, self.img_size)
+        im_h, im_w = img.shape[:2]
+        ann = ann.copy()
+        ann[:, :, 0] *= im_w - dw
+        ann[:, :, 1] *= im_h - dh
+        ann = ann.astype(np.int64)
+        data = {"imgs": img, "text_polys": ann, "ignore_tags": ignore_tags}
+        data = self.make_shrink_map(data)
+        data = self.make_border_map(data)
+        tp = data.pop("text_polys")
+        it = data.pop("ignore_tags")
+        if self.with_ann:
+            data["text_polys"] = np.array(tp)
+            data["ignore_tags"] = np.array(it)
+        data["imgs"] = data["imgs"][:, :, ::-1].astype(np.float32) / 255.0  # RGB/255
+        return data
+
+
+def create_dataloader(
+    img_dir,
+    ann_dir,
+    imgsz: int,
+    batch_size: int,
+    augment: bool = False,
+    aug_param=None,
+    cache: bool = False,
+    workers: int = 2,
+    shuffle: bool = False,
+    with_ann: bool = False,
+):
+    dataset = DBDataset(img_dir, ann_dir, imgsz, augment, aug_param, cache, with_ann=with_ann)
+    loader = PrefetchLoader(dataset, batch_size, shuffle=shuffle, prefetch=max(2, workers))
+    return dataset, loader

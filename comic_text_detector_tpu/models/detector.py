@@ -100,3 +100,28 @@ def build_train_model(
 def init_variables(model: nn.Module, rng: jax.Array, input_size: int = 640, batch: int = 1, **kwargs):
     x = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
     return model.init(rng, x, **kwargs)
+
+
+def damp_output_biases(variables: dict, value: float = -8.0) -> dict:
+    """Shift detection/DB output biases so a randomly initialized net emits
+    (near-)empty predictions — random conv weights otherwise threshold into
+    page-sized noise blobs, which is not a workload any trained detector
+    produces.  Used by benchmarks/tests that need realistic output sparsity
+    without trained weights."""
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    params = variables["params"]
+    det = params.get("blk_det", {})
+    for name, sub in det.items():
+        if name.startswith("model_") and any(k.startswith("m_") for k in sub):
+            for mk, conv in sub.items():
+                if mk.startswith("m_") and "bias" in conv:
+                    b = jnp.asarray(conv["bias"])
+                    na = 3
+                    no = b.shape[0] // na
+                    b = b.reshape(na, no).at[:, 4].set(value).reshape(-1)
+                    conv["bias"] = b
+    db = params.get("text_det", {})
+    for tower in ("binarize", "thresh"):
+        if tower in db and "seq6" in db[tower] and "bias" in db[tower]["seq6"]:
+            db[tower]["seq6"]["bias"] = jnp.full_like(jnp.asarray(db[tower]["seq6"]["bias"]), value)
+    return variables

@@ -1,0 +1,186 @@
+"""Jitted train/eval steps for the two head trainers.
+
+Mirrors the reference training composition (basemodel.py:162-209,
+train_seg.py:120-153, train_db.py:130-166): frozen backbone, one trainable
+head, dice / DB losses, grad accumulation via optax.MultiSteps.  Steps are
+mesh-ready: with params replicated and the batch dim sharded over a
+``data`` mesh axis, XLA inserts the gradient all-reduce automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from comic_text_detector_tpu.constants import TEXTDET_DET, TEXTDET_MASK
+from comic_text_detector_tpu.training import losses
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any  # trainable subtree (seg_net or dbnet)
+    frozen: Any  # non-trainable params subtrees
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_seg_train_state(variables: Dict, tx: optax.GradientTransformation) -> TrainState:
+    params = dict(variables["params"])
+    seg = params.pop("seg_net")
+    return TrainState(
+        params=seg,
+        frozen=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(seg),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def create_db_train_state(variables: Dict, tx: optax.GradientTransformation) -> TrainState:
+    params = dict(variables["params"])
+    db = params.pop("dbnet")
+    return TrainState(
+        params=db,
+        frozen=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(db),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_seg_train_step(model, tx: optax.GradientTransformation) -> Callable:
+    """U-Net mask training step: dice(pred, mask) on the trainable seg_net."""
+
+    @jax.jit
+    def step(state: TrainState, imgs: jax.Array, masks: jax.Array):
+        def loss_fn(seg_params):
+            params = dict(state.frozen)
+            params["seg_net"] = seg_params
+            pred, new_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs,
+                forward_mode=TEXTDET_MASK,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return losses.binary_dice_loss(pred[..., 0], masks), new_state["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                params=new_params, batch_stats=new_stats, opt_state=new_opt, step=state.step + 1
+            ),
+            {"loss": loss},
+        )
+
+    return step
+
+
+def make_seg_eval_step(model) -> Callable:
+    @jax.jit
+    def step(state: TrainState, imgs: jax.Array, masks: jax.Array):
+        params = dict(state.frozen)
+        params["seg_net"] = state.params
+        pred = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            imgs,
+            forward_mode=TEXTDET_MASK,
+            train=False,
+        )
+        pred = pred[..., 0]
+        tp = jnp.sum(pred * masks)
+        return {
+            "tp": tp,
+            "gt": jnp.sum(masks),
+            "pr": jnp.sum(pred),
+            "loss": losses.binary_dice_loss(pred, masks),
+        }
+
+    return step
+
+
+def make_db_train_step(model, tx: optax.GradientTransformation, use_bce: bool = True) -> Callable:
+    """DB head training step on frozen backbone + frozen U-Net trunk."""
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        def loss_fn(db_params):
+            params = dict(state.frozen)
+            params["dbnet"] = db_params
+            pred, new_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["imgs"],
+                forward_mode=TEXTDET_DET,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            metrics = losses.db_loss(pred, batch, use_bce=use_bce)
+            return metrics["loss"], (new_state["batch_stats"], metrics)
+
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                params=new_params, batch_stats=new_stats, opt_state=new_opt, step=state.step + 1
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_db_eval_step(model) -> Callable:
+    @jax.jit
+    def step(state: TrainState, imgs: jax.Array):
+        params = dict(state.frozen)
+        params["dbnet"] = state.params
+        return model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            imgs,
+            forward_mode=TEXTDET_DET,
+            train=False,
+        )
+
+    return step
+
+
+def one_cycle(y1: float = 0.0, y2: float = 1.0, steps: int = 100):
+    """Cosine 1->lrf schedule factory (reference train_seg.py:28)."""
+    import math
+
+    return lambda x: ((1 - math.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
+
+
+def build_optimizer(
+    kind: str,
+    lr0: float,
+    momentum: float = 0.937,
+    weight_decay: float = 0.0,
+    accumulation_steps: int = 1,
+    schedule: Optional[Callable] = None,
+) -> optax.GradientTransformation:
+    """adam/sgd + optional LR schedule + grad accumulation, matching the
+    reference optimizer setup (train_seg.py:69-87)."""
+    lr = lr0 if schedule is None else (lambda step: lr0 * schedule(step))
+    if kind == "adam":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.adam(lr, b1=momentum, b2=0.999),
+        )
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.sgd(lr, momentum=momentum, nesterov=True),
+        )
+    if accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx

@@ -1,0 +1,182 @@
+"""Training-stack tests: losses vs torch oracles, GT maps, full trainer
+smoke runs (tiny synthetic dataset, few optimizer steps)."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comic_text_detector_tpu.data.maps import MakeBorderMap, MakeShrinkMap, shrink_polygon
+from comic_text_detector_tpu.training import losses
+from comic_text_detector_tpu.utils.io import imwrite
+
+
+def test_binary_dice_matches_torch(rng):
+    import torch
+
+    pred = rng.random((2, 32, 32), dtype=np.float32)
+    tgt = (rng.random((2, 32, 32)) > 0.5).astype(np.float32)
+    got = float(losses.binary_dice_loss(jnp.asarray(pred), jnp.asarray(tgt)))
+    p = torch.from_numpy(pred).reshape(2, -1)
+    t = torch.from_numpy(tgt).reshape(2, -1)
+    num = (p * t).sum(1) + 1
+    den = (p**2 + t**2).sum(1) + 1
+    ref = float((1 - num / den).mean())
+    assert abs(got - ref) < 1e-6
+
+
+def test_balance_bce_matches_torch_ohem(rng):
+    import torch
+
+    logits = rng.standard_normal((1, 24, 24), dtype=np.float32)
+    gt = (rng.random((1, 24, 24)) > 0.7).astype(np.float32)
+    mask = np.ones_like(gt)
+    got = float(losses.balance_bce_loss(jnp.asarray(logits), jnp.asarray(gt), jnp.asarray(mask)))
+
+    lt, gtt, mt = map(torch.from_numpy, (logits, gt, mask))
+    positive = (gtt * mt).byte()
+    negative = ((1 - gtt) * mt).byte()
+    pos_count = int(positive.float().sum())
+    neg_count = min(int(negative.float().sum()), int(pos_count * 3.0))
+    loss = torch.nn.functional.binary_cross_entropy_with_logits(lt, gtt, reduction="none")
+    pos_loss = loss * positive.float()
+    neg_loss = (loss * negative.float()).view(-1).topk(neg_count)[0]
+    ref = float((pos_loss.sum() + neg_loss.sum()) / (pos_count + neg_count + 1e-6))
+    assert abs(got - ref) < 1e-5
+
+
+def test_mask_l1_and_dice(rng):
+    pred = rng.random((1, 16, 16), dtype=np.float32)
+    gt = rng.random((1, 16, 16), dtype=np.float32)
+    mask = (rng.random((1, 16, 16)) > 0.3).astype(np.float32)
+    l1 = float(losses.mask_l1_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
+    ref = (np.abs(pred - gt) * mask).sum() / (mask.sum() + 1e-6)
+    assert abs(l1 - ref) < 1e-6
+    d = float(losses.dice_loss(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
+    assert 0 <= d <= 1
+
+
+def test_shrink_map_generation():
+    img = np.zeros((80, 100, 3), np.uint8)
+    polys = np.array([[[10, 10], [70, 10], [70, 40], [10, 40]]], np.float64)
+    data = {"imgs": img, "text_polys": polys.copy(), "ignore_tags": [False]}
+    out = MakeShrinkMap()(data)
+    sm = out["shrink_map"]
+    assert sm.shape == (80, 100)
+    area = sm.sum()
+    assert 0 < area < 60 * 30  # strictly inside the original poly
+    # shrunk region centered inside the original box
+    ys, xs = np.nonzero(sm)
+    assert xs.min() > 10 and xs.max() < 70 and ys.min() > 10 and ys.max() < 40
+    assert out["shrink_mask"].min() == 1  # nothing ignored
+
+
+def test_border_map_generation():
+    img = np.zeros((80, 100, 3), np.uint8)
+    polys = np.array([[[20, 20], [80, 20], [80, 50], [20, 50]]], np.float64)
+    data = {"imgs": img, "text_polys": polys.copy(), "ignore_tags": [False]}
+    out = MakeBorderMap()(data)
+    tm = out["threshold_map"]
+    assert tm.min() >= 0.3 - 1e-6 and tm.max() <= 0.7 + 1e-6
+    # values peak near the polygon border
+    assert tm[20, 50] > tm[35, 50]  # on-edge > center
+    assert out["threshold_mask"].max() == 1
+
+
+def test_shrink_polygon_matches_dbnet_rule():
+    quad = np.array([[0, 0], [100, 0], [100, 40], [0, 40]], np.float64)
+    s = shrink_polygon(quad, 0.4)
+    assert len(s) >= 3
+    # offset distance = A(1-r^2)/L = 4000*0.84/280 = 12
+    from comic_text_detector_tpu.ops.geometry import shoelace_area
+
+    expected = (100 - 24.0) * (40 - 24.0)
+    assert abs(abs(shoelace_area(s)) - expected) < 2.0
+
+
+def _make_tiny_dataset(root, n=4, size=96):
+    rng = np.random.default_rng(0)
+    img_dir = root / "imgs"
+    img_dir.mkdir(exist_ok=True)
+    for i in range(n):
+        img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        mask = np.zeros((size, size), np.uint8)
+        x, y = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+        mask[y : y + 30, x : x + 40] = 255
+        img[y : y + 30, x : x + 40] = 255  # paint a 'text' box
+        imwrite(str(img_dir / f"p{i}.png"), img)
+        imwrite(str(img_dir / f"mask-p{i}.png"), mask)
+        poly = np.array([[x, y, x + 40, y, x + 40, y + 30, x, y + 30]])
+        np.savetxt(str(img_dir / f"line-p{i}.txt"), poly, fmt="%d")
+    return str(img_dir)
+
+
+@pytest.mark.slow
+def test_seg_trainer_smoke(tmp_path):
+    from comic_text_detector_tpu.training import seg_trainer
+
+    img_dir = _make_tiny_dataset(tmp_path)
+    hyp = {
+        "data": {
+            "train_img_dir": img_dir,
+            "val_img_dir": img_dir,
+            "imgsz": 128,
+            "augment": True,
+            "aug_param": {"hsv": 0.3, "mini_mosaic": 0.0, "flip_lr": 0.5, "neg": 0.3, "size_range": [-1]},
+            "save_dir": str(tmp_path / "out"),
+        },
+        "train": {
+            "epochs": 1,
+            "batch_size": 2,
+            "lr0": 1e-3,
+            "lrf": 0.1,
+            "optimizer": "adam",
+            "weight_decay": 0.0,
+            "eval_interval": 1,
+            "accumulation_steps": 1,
+        },
+    }
+    out = seg_trainer.train(hyp, max_steps=2)
+    assert out["steps"] >= 1 and np.isfinite(out["last_loss"])
+    assert osp.exists(tmp_path / "out" / "unet_last.ctd")
+
+
+@pytest.mark.slow
+def test_db_trainer_smoke(tmp_path):
+    from comic_text_detector_tpu.training import db_trainer
+
+    img_dir = _make_tiny_dataset(tmp_path)
+    hyp = {
+        "data": {
+            "train_img_dir": img_dir,
+            "val_img_dir": img_dir,
+            "imgsz": 128,
+            "augment": True,
+            "aug_param": {
+                "hsv": 0.3,
+                "mini_mosaic": 0.0,
+                "flip_lr": 0.5,
+                "neg": 0.3,
+                "rotate": 0.0,
+                "rotate_range": [-70, 70],
+                "size_range": [-1],
+            },
+            "save_dir": str(tmp_path / "out"),
+        },
+        "train": {
+            "epochs": 1,
+            "batch_size": 2,
+            "lr0": 1e-3,
+            "lrf": 0.1,
+            "optimizer": "adam",
+            "weight_decay": 0.0,
+            "eval_interval": 1,
+            "accumulation_steps": 1,
+            "loss": "bce",
+        },
+    }
+    out = db_trainer.train(hyp, max_steps=2)
+    assert out["steps"] >= 1 and np.isfinite(out["last_metrics"]["loss"])
+    assert osp.exists(tmp_path / "out" / "db_last.ctd")
