@@ -1,0 +1,83 @@
+"""Synthetic renderer tests: block rendering, page composition, dataset
+contract round-trip into the training loaders."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import ImageFont
+
+from comic_text_detector_tpu.data.render import (
+    ComicTextRenderer,
+    FontSampler,
+    TextLinesSampler,
+    draw_text_block,
+    max_contrast_color,
+    render_comictext,
+)
+from comic_text_detector_tpu.utils.io import imwrite
+
+
+def test_draw_text_block_horizontal():
+    font = ImageFont.truetype("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 24)
+    img, mask, polys = draw_text_block(["hello world", "second line"], font)
+    assert img is not None
+    assert mask.size == img.size
+    assert polys.shape == (2, 8)
+    m = np.asarray(mask)
+    assert m.max() == 255 and m.mean() > 0
+    # polygons cover the inked area
+    for p in polys:
+        assert p[::2].max() <= img.width and p[1::2].max() <= img.height
+
+
+def test_draw_text_block_vertical_and_rotated():
+    font = ImageFont.truetype("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 20)
+    img, mask, polys = draw_text_block(["abc", "def"], font, orientation=1)
+    assert img is not None and polys.shape[0] == 2
+    img_r, mask_r, polys_r = draw_text_block(["rotated text"], font, rotation=20)
+    assert img_r is not None and polys_r.shape[0] == 1
+
+
+def test_max_contrast_color():
+    import random
+
+    dark = np.zeros((8, 8, 3), np.uint8)
+    c = max_contrast_color(dark, random.Random(0))
+    assert sum(c) > 380  # bright color on dark bg
+    light = np.full((8, 8, 3), 255, np.uint8)
+    c2 = max_contrast_color(light, random.Random(0))
+    assert sum(c2) < 380
+
+
+def test_render_page_and_dataset_roundtrip(tmp_path, rng):
+    bg_dir = tmp_path / "bg"
+    out_dir = tmp_path / "out"
+    bg_dir.mkdir()
+    for i in range(2):
+        bg = np.full((300, 240, 3), 230, np.uint8)
+        bg[::40] = 180  # some structure
+        imwrite(str(bg_dir / f"bg{i}.png"), bg)
+    n = render_comictext(str(bg_dir), str(out_dir), seed=1)
+    assert n == 2
+    assert osp.exists(out_dir / "bg0.png")
+    assert osp.exists(out_dir / "mask-bg0.png")
+    assert osp.exists(out_dir / "bg0.txt")
+
+    # rendered masks must be consumable by the seg loader
+    from comic_text_detector_tpu.data.seg_dataset import SegDataset
+
+    ds = SegDataset(str(out_dir), None, img_size=128)
+    assert len(ds) == 2
+    img, mask = ds[0]
+    assert img.shape == (128, 128, 3) and mask.shape == (128, 128)
+    assert mask.max() == 1.0  # text actually present
+
+    # and line files by the DB loader (if any lines were placed)
+    from comic_text_detector_tpu.data.db_dataset import DBDataset
+
+    db = DBDataset(str(out_dir), None, img_size=128)
+    if len(db):
+        item = db[0]
+        assert item["shrink_map"].shape == (128, 128)
+        assert item["shrink_map"].max() == 1.0
