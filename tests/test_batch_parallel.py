@@ -1,0 +1,67 @@
+"""Batched pipeline + mesh sharding tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from comic_text_detector_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_batch_spec
+from comic_text_detector_tpu.pipeline.batch import BatchTextDetector
+from comic_text_detector_tpu.pipeline.detector import TextDetector
+from comic_text_detector_tpu.utils.io import imread
+
+
+@pytest.fixture(scope="module")
+def pages():
+    img = imread("/root/reference/data/examples/AisazuNihaIrarenai-003.jpg")
+    from comic_text_detector_tpu.ops.resize import resize_bilinear_np
+
+    small = resize_bilinear_np(img, (img.shape[0] // 4, img.shape[1] // 4))
+    return [small, small[:, ::-1].copy(), small[::-1].copy(), small]
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8, axes=("data",))
+    assert mesh.devices.shape == (8,)
+    mesh2 = make_mesh(8, axes=("data", "model"))
+    assert mesh2.devices.shape == (8, 1)
+
+
+def test_shard_and_replicate():
+    mesh = make_mesh(8)
+    x = np.zeros((16, 4), np.float32)
+    sx = shard_batch(mesh, x)
+    assert sx.sharding.spec == jax.sharding.PartitionSpec("data", None)
+    params = {"w": np.ones((3, 3), np.float32)}
+    rp = replicate(mesh, params)
+    assert rp["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.slow
+def test_batch_detector_matches_single(pages):
+    bdet = BatchTextDetector.random_init(batch_size=4, input_size=256, half=False)
+    sdet = TextDetector(variables=bdet.variables, input_size=256, act="leaky")
+    batch_out = bdet.process_batch(pages)
+    assert len(batch_out) == 4
+    m_b, mr_b, blk_b = batch_out[0]
+    m_s, mr_s, blk_s = sdet(pages[0])
+    assert m_b.shape == m_s.shape
+    # identical device math modulo batching: masks agree tightly
+    assert np.abs(m_b.astype(int) - m_s.astype(int)).mean() < 1.0
+    assert len(blk_b) == len(blk_s)
+
+
+@pytest.mark.slow
+def test_batch_detector_sharded(pages):
+    mesh = make_mesh(8)
+    bdet = BatchTextDetector.random_init(batch_size=8, input_size=256, half=False, mesh=mesh)
+    out = bdet.process_batch(pages + pages)
+    assert len(out) == 8
+
+
+@pytest.mark.slow
+def test_stream(pages):
+    bdet = BatchTextDetector.random_init(batch_size=2, input_size=256, half=False)
+    results = list(bdet.stream(iter(pages)))
+    assert len(results) == 4
