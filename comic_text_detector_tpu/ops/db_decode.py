@@ -37,6 +37,112 @@ def db_device_decode(shrink_map: jax.Array, thresh, capacity: int = MAX_DB_COMPO
     return component_stats(labels, shrink_map, capacity)
 
 
+def min_area_rects_device(
+    compact_labels: jax.Array,
+    area: jax.Array,
+    value_sum: jax.Array,
+    capacity: int = MAX_DB_COMPONENTS,
+    angle_steps: int = 90,
+    unclip_ratio: float = 1.5,
+):
+    """All-device min-area rotated rects per component via an angle scan.
+
+    Rotating calipers needs per-component hulls (irregular); the TPU-native
+    formulation scans ``angle_steps`` candidate orientations in [0, 90°),
+    computing per-component projected extents with segment reductions, and
+    picks the min-area angle.  Exact for axis-aligned text (angle 0 is on
+    the grid); otherwise within (90/angle_steps)° of the optimum.  Output is
+    a tiny (C,4,2) tensor — ~10 KB to host instead of a 1 MB label map.
+
+    Returns (boxes (C,4,2) f32 unclipped+inflated, scores (C,), valid (C,)).
+    """
+    h, w = compact_labels.shape
+    seg = compact_labels.reshape(-1)
+    xs = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
+    ys = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+    angles = jnp.arange(angle_steps, dtype=jnp.float32) * (jnp.pi / 2 / angle_steps)
+
+    def per_angle(_, a):
+        c, s = jnp.cos(a), jnp.sin(a)
+        u = xs * c + ys * s
+        v = -xs * s + ys * c
+        umin = jax.ops.segment_min(u, seg, num_segments=capacity)
+        umax = jax.ops.segment_max(u, seg, num_segments=capacity)
+        vmin = jax.ops.segment_min(v, seg, num_segments=capacity)
+        vmax = jax.ops.segment_max(v, seg, num_segments=capacity)
+        return None, jnp.stack([umin, umax, vmin, vmax], axis=-1)
+
+    _, ext = jax.lax.scan(per_angle, None, angles)  # (A, C, 4)
+    rw = ext[..., 1] - ext[..., 0]
+    rh = ext[..., 3] - ext[..., 2]
+    areas = rw * rh
+    best = jnp.argmin(areas, axis=0)  # (C,)
+    ci = jnp.arange(capacity)
+    e = ext[best, ci]  # (C, 4)
+    a = angles[best]
+    bw = e[:, 1] - e[:, 0]
+    bh = e[:, 3] - e[:, 2]
+    per = 2.0 * (bw + bh)
+    dist = jnp.where(per > 0, bw * bh * unclip_ratio / per, 0.0)
+    umin, umax = e[:, 0] - dist, e[:, 1] + dist
+    vmin, vmax = e[:, 2] - dist, e[:, 3] + dist
+    cu = jnp.stack([umin, umax, umax, umin], axis=-1)  # (C, 4)
+    cv = jnp.stack([vmin, vmin, vmax, vmax], axis=-1)
+    ca, sa = jnp.cos(a)[:, None], jnp.sin(a)[:, None]
+    bx = cu * ca - cv * sa
+    by = cu * sa + cv * ca
+    boxes = jnp.stack([bx, by], axis=-1)  # (C, 4, 2)
+    sside = jnp.minimum(bw, bh)  # pre-inflation short side (reference skip rule)
+    valid = (area > 0) & (sside >= 2.0)
+    scores = jnp.where(area > 0, value_sum / jnp.maximum(area, 1), 0.0)
+    return boxes, scores, valid
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def db_decode_full_device(
+    shrink_map: jax.Array,
+    thresh,
+    capacity: int = MAX_DB_COMPONENTS,
+    angle_steps: int = 90,
+):
+    """Fused all-device DB decode: prob map -> (boxes, scores, valid).
+
+    The minimal-transfer path (compact outputs only; no label-map download).
+    """
+    bitmap = shrink_map > thresh
+    labels = connected_components(bitmap, 8)
+    stats = component_stats(labels, shrink_map, capacity)
+    return min_area_rects_device(
+        stats.compact_labels, stats.area, stats.value_sum, capacity, angle_steps
+    )
+
+
+def boxes_from_device_rects(
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    valid: np.ndarray,
+    dest_width: int,
+    dest_height: int,
+    src_width: int,
+    src_height: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host finisher for the all-device path: reference corner ordering,
+    rescale, round+clip."""
+    out_boxes: List[np.ndarray] = []
+    out_scores: List[float] = []
+    for i in range(len(scores)):
+        if not valid[i]:
+            continue
+        box = geo.order_rect_points(boxes[i].astype(np.float64))
+        box[:, 0] = np.clip(np.round(box[:, 0] / src_width * dest_width), 0, dest_width)
+        box[:, 1] = np.clip(np.round(box[:, 1] / src_height * dest_height), 0, dest_height)
+        out_boxes.append(box.astype(np.int32))
+        out_scores.append(float(scores[i]))
+    if out_boxes:
+        return np.stack(out_boxes), np.asarray(out_scores, np.float32)
+    return np.zeros((0, 4, 2), np.int32), np.zeros((0,), np.float32)
+
+
 def _component_points(labels_np: np.ndarray, idx: int, bbox) -> np.ndarray:
     x0, y0, x1, y1 = bbox
     win = labels_np[y0 : y1 + 1, x0 : x1 + 1] == idx

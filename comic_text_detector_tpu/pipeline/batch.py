@@ -25,8 +25,7 @@ import numpy as np
 from comic_text_detector_tpu import constants as C
 from comic_text_detector_tpu.models.detector import build_inference_model, init_variables
 from comic_text_detector_tpu.config import YOLOV5S_CFG
-from comic_text_detector_tpu.ops.cc import component_stats, connected_components
-from comic_text_detector_tpu.ops.db_decode import boxes_from_stats
+from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects, db_decode_full_device
 from comic_text_detector_tpu.ops.nms import nms_single
 from comic_text_detector_tpu.ops.resize import letterbox_np, letterbox_shape, resize_bilinear_np
 from comic_text_detector_tpu.postproc.textblock import group_output
@@ -78,24 +77,20 @@ class BatchTextDetector:
     def _build_infer(self):
         size = self.size
 
-        def per_page_decode(shrink):
-            bitmap = shrink > self.db_thresh
-            labels = connected_components(bitmap, 8)
-            st = component_stats(labels, shrink, C.MAX_DB_COMPONENTS)
-            return st._replace(compact_labels=st.compact_labels.astype(jnp.uint8))
-
         @jax.jit
         def infer(variables, imgs_u8):
             """(B, S, S, 3) uint8 -> per-page NMS rows/counts, uint8 masks,
-            DB component stats — one dispatch, compact dtypes for transfer."""
+            on-device DB rects — one dispatch, compact transfers."""
             x = imgs_u8.astype(jnp.float32) / 255.0
             blks, mask, lines = self.model.apply(variables, x)
             rows, counts = jax.vmap(
                 lambda p: nms_single(p.astype(jnp.float32), self.conf_thresh, self.nms_thresh)
             )(blks)
             masks_u8 = (mask[..., 0].astype(jnp.float32) * 255.0).astype(jnp.uint8)
-            stats = jax.vmap(per_page_decode)(lines[..., 0].astype(jnp.float32))
-            return rows, counts, masks_u8, stats
+            boxes, scores, valid = jax.vmap(lambda s: db_decode_full_device(s, self.db_thresh))(
+                lines[..., 0].astype(jnp.float32)
+            )
+            return rows, counts, masks_u8, boxes, scores, valid
 
         return infer
 
@@ -122,7 +117,9 @@ class BatchTextDetector:
             device_batch = jax.device_put(batch, shard_batch_spec(self.mesh, 4))
         else:
             device_batch = jnp.asarray(batch)
-        rows, counts, masks_u8, stats = jax.device_get(self._infer(self.variables, device_batch))
+        rows, counts, masks_u8, dboxes, dscores, dvalid = jax.device_get(
+            self._infer(self.variables, device_batch)
+        )
 
         out = []
         for i, page in enumerate(pages):
@@ -133,8 +130,9 @@ class BatchTextDetector:
             det[:, [1, 3]] *= resize_ratio[1]
             blks = (det[:, :4].astype(np.int32), det[:, 5].astype(np.int32), np.round(det[:, 4], 3))
 
-            page_stats = jax.tree_util.tree_map(lambda x: x[i], stats)
-            lines, scores = boxes_from_stats(page_stats, size, size, size, size)
+            lines, scores = boxes_from_device_rects(
+                dboxes[i], dscores[i], dvalid[i], size, size, size, size
+            )
             if len(scores):
                 keep = scores > self.box_thresh
                 lines, scores = lines[keep], scores[keep]

@@ -25,7 +25,12 @@ from comic_text_detector_tpu.config import YOLOV5S_CFG
 from comic_text_detector_tpu.models.convert import load_textdet_base_variables
 from comic_text_detector_tpu.models.detector import build_inference_model, init_variables
 from comic_text_detector_tpu.ops.cc import ComponentStats
-from comic_text_detector_tpu.ops.db_decode import boxes_from_stats, db_device_decode
+from comic_text_detector_tpu.ops.db_decode import (
+    boxes_from_device_rects,
+    boxes_from_stats,
+    db_decode_full_device,
+    db_device_decode,
+)
 from comic_text_detector_tpu.ops.nms import nms_single
 from comic_text_detector_tpu.ops.resize import letterbox_shape, resize_bilinear, resize_bilinear_np
 from comic_text_detector_tpu.postproc.textblock import TextBlock, group_output
@@ -93,37 +98,35 @@ class TextDetector:
         return cls(variables=variables, input_size=input_size, act=act, **kw)
 
     # --- device graph ---
+    #
+    # Everything — letterbox, 3-head net, NMS, DB pixel decode incl. on-device
+    # min-area rects — runs in ONE jitted dispatch per page shape, and only
+    # compact results come back (NMS rows ~7 KB, DB boxes ~10 KB, cropped
+    # uint8 mask ≤1 MB).  Host<->device round trips and transfer bytes are
+    # the latency budget on remote-attached TPUs.
 
     def _build_infer(self):
         size = self.input_size[0]
 
-        @jax.jit
-        def infer(variables, img_f32):
-            """(S,S,3) float -> (nms rows, count, mask2d, shrink stats)."""
-            blks, mask, lines = self.model.apply(variables, img_f32[None])
-            rows, count = nms_single(
-                blks[0].astype(jnp.float32), self.conf_thresh, self.nms_thresh
-            )
-            mask2d = mask[0, :, :, 0].astype(jnp.float32)
-            shrink = lines[0, :, :, 0].astype(jnp.float32)
-            stats = db_device_decode(shrink, self.db_thresh)
-            return rows, count, mask2d, stats
-
-        return infer
-
-    @functools.cached_property
-    def _letterbox(self):
-        size = self.input_size[0]
-
         @functools.lru_cache(maxsize=64)
         def compiled_for(h, w):
+            nh, nw, dw, dh, _ = letterbox_shape(h, w, size)
+
             @jax.jit
-            def run(img_u8):
-                nh, nw, dw, dh, _ = letterbox_shape(h, w, size)
+            def run(variables, img_u8):
                 x = resize_bilinear(img_u8.astype(jnp.float32), (nh, nw))
                 x = jnp.clip(jnp.round(x), 0, 255)
-                x = jnp.pad(x, ((0, dh), (0, dw), (0, 0)))
-                return x / 255.0
+                x = jnp.pad(x, ((0, dh), (0, dw), (0, 0))) / 255.0
+                blks, mask, lines = self.model.apply(variables, x[None])
+                rows, count = nms_single(
+                    blks[0].astype(jnp.float32), self.conf_thresh, self.nms_thresh
+                )
+                mask_u8 = (mask[0, : size - dh, : size - dw, 0].astype(jnp.float32) * 255.0).astype(
+                    jnp.uint8
+                )
+                shrink = lines[0, :, :, 0].astype(jnp.float32)
+                boxes, scores, valid = db_decode_full_device(shrink, self.db_thresh)
+                return rows, count, mask_u8, boxes, scores, valid
 
             return run
 
@@ -141,23 +144,19 @@ class TextDetector:
         size = self.input_size[0]
         _, _, dw, dh, _ = letterbox_shape(im_h, im_w, size)
 
-        img_in = self._letterbox(im_h, im_w)(jnp.asarray(img))
-        rows, count, mask2d, stats = self._infer(self.variables, img_in)
+        out = self._infer(im_h, im_w)(self.variables, jnp.asarray(img))
+        rows, count, mask_u8, dboxes, dscores, dvalid = jax.device_get(out)
 
         resize_ratio = (im_w / (size - dw), im_h / (size - dh))
-        blks = self._postprocess_yolo(np.asarray(rows), int(count), resize_ratio)
+        blks = self._postprocess_yolo(rows, int(count), resize_ratio)
 
-        # mask: float -> uint8 (truncating, like the reference postprocess_mask)
-        mask = (np.asarray(mask2d) * 255).astype(np.uint8)
-
-        lines, scores = boxes_from_stats(stats, size, size, size, size, unclip_ratio=self.unclip_ratio)
+        lines, scores = boxes_from_device_rects(dboxes, dscores, dvalid, size, size, size, size)
         if len(scores):
             keep = scores > self.box_thresh
             lines, scores = lines[keep], scores[keep]
 
-        # map outputs back to the original page
-        mask = mask[: mask.shape[0] - dh, : mask.shape[1] - dw]
-        mask = resize_bilinear_np(mask, (im_h, im_w))
+        # map outputs back to the original page (mask comes cropped from device)
+        mask = resize_bilinear_np(mask_u8, (im_h, im_w))
         if lines.size == 0:
             lines = []
         else:
