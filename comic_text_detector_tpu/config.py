@@ -112,6 +112,9 @@ def parse_graph(cfg: dict, max_layer: int | None = None) -> GraphSpec:
     rows = list(cfg["backbone"]) + list(cfg["head"])
     if max_layer is not None:
         rows = rows[: max_layer + 1]
+    # normalize module names from torch-format cfgs embedded in checkpoints
+    _renames = {"nn.Upsample": "Upsample", "nn.BatchNorm2d": "BatchNorm2d"}
+    rows = [[f, n, _renames.get(m, m), a] for f, n, m, a in rows]
 
     layers: List[LayerSpec] = []
     save: set = set()

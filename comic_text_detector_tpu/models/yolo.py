@@ -182,6 +182,53 @@ class YoloGraph(nn.Module):
         return y
 
 
+def scale_img(x: jax.Array, ratio: float, gs: int = 32, pad_value: float = 0.447) -> jax.Array:
+    """Scale an NHWC batch by ``ratio`` and pad bottom/right to gs multiples
+    (reference utils/yolov5_utils.py scale_img :11-21)."""
+    if ratio == 1.0:
+        return x
+    import math
+
+    from comic_text_detector_tpu.ops.resize import resize_bilinear
+
+    n, h, w, c = x.shape
+    nh, nw = int(h * ratio), int(w * ratio)
+    y = jax.vmap(lambda im: resize_bilinear(im, (nh, nw)))(x)
+    ph = math.ceil(h * ratio / gs) * gs
+    pw = math.ceil(w * ratio / gs) * gs
+    return jnp.pad(y, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)), constant_values=pad_value)
+
+
+def augmented_detect(model: "YoloGraph", variables, x: jax.Array, gs: int = 32) -> jax.Array:
+    """Multi-scale + flip test-time-augmented detection
+    (reference Model._forward_augment / _descale_pred / _clip_augmented,
+    models/yolov5/yolo.py:101-162).  Returns (B, ΣN', no) decoded rows.
+
+    Each scale traces its own static-shape graph — TPU-friendly TTA.
+    """
+    img_h, img_w = x.shape[1], x.shape[2]
+    scales = (1.0, 0.83, 0.67)
+    flips = (None, "lr", None)
+    outs = []
+    for si, fi in zip(scales, flips):
+        xi = x[:, :, ::-1, :] if fi == "lr" else x
+        xi = scale_img(xi, si, gs=gs)
+        dets, _ = model.apply(variables, xi, detect=True)
+        xy = dets[..., 0:2] / si
+        wh = dets[..., 2:4] / si
+        if fi == "lr":
+            xy = jnp.stack([img_w - xy[..., 0], xy[..., 1]], axis=-1)
+        outs.append(jnp.concatenate([xy, wh, dets[..., 4:]], axis=-1))
+    # clip augmented tails (reference _clip_augmented)
+    nl = 3
+    g = sum(4**k for k in range(nl))
+    i0 = (outs[0].shape[1] // g) * 1
+    outs[0] = outs[0][:, :-i0]
+    i2 = (outs[-1].shape[1] // g) * (4 ** (nl - 1))
+    outs[-1] = outs[-1][:, i2:]
+    return jnp.concatenate(outs, axis=1)
+
+
 def initialize_detect_biases(params: dict, spec: GraphSpec, img_size: int = 640) -> dict:
     """Apply the focal-loss-style prior to Detect conv biases
     (reference Model._initialize_biases, yolo.py:170-178). Pure pytree edit."""

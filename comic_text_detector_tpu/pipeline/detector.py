@@ -77,8 +77,18 @@ class TextDetector:
             compute_dtype = jnp.bfloat16 if half else jnp.float32
         self.compute_dtype = compute_dtype
 
+        self.backend = "jax"
         if variables is not None:
             self.variables = variables
+            model_cfg = cfg or YOLOV5S_CFG
+        elif model_path is not None and str(model_path).endswith(".stablehlo"):
+            # serialized deploy artifact backend (the reference's ONNX/
+            # OpenCV-DNN alternative backend, inference.py:124-130)
+            from comic_text_detector_tpu.export import load_exported
+
+            self.backend = "stablehlo"
+            self._exported = load_exported(model_path)
+            self.variables = {}
             model_cfg = cfg or YOLOV5S_CFG
         elif model_path is not None:
             self.variables, ckpt_cfg = load_textdet_base_variables(model_path)
@@ -86,7 +96,12 @@ class TextDetector:
         else:
             raise ValueError("provide model_path or variables (or use TextDetector.random_init)")
 
-        self.model = build_inference_model(model_cfg, act=act, dtype=compute_dtype)
+        if self.backend == "jax":
+            self.model = build_inference_model(model_cfg, act=act, dtype=compute_dtype)
+            self._apply = lambda variables, x: self.model.apply(variables, x)
+        else:
+            self.model = None
+            self._apply = lambda variables, x: self._exported(x)
         self.variables = jax.device_put(self.variables)
         self._infer = self._build_infer()
 
@@ -117,7 +132,7 @@ class TextDetector:
                 x = resize_bilinear(img_u8.astype(jnp.float32), (nh, nw))
                 x = jnp.clip(jnp.round(x), 0, 255)
                 x = jnp.pad(x, ((0, dh), (0, dw), (0, 0))) / 255.0
-                blks, mask, lines = self.model.apply(variables, x[None])
+                blks, mask, lines = self._apply(variables, x[None])
                 rows, count = nms_single(
                     blks[0].astype(jnp.float32), self.conf_thresh, self.nms_thresh
                 )
