@@ -1,0 +1,101 @@
+"""End-to-end weak-supervision cycle — the examples.ipynb walkthrough as a
+test: render synthetic pages -> train U-Net head (few steps) -> graft ->
+train DB head (few steps) -> merge into a deploy model -> run detection.
+Tiny sizes; proves every subsystem plugs together."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.slow
+def test_full_cycle(tmp_path):
+    from comic_text_detector_tpu.data.render import render_comictext
+    from comic_text_detector_tpu.utils.io import imwrite
+
+    # 1. synthetic data
+    bg_dir = tmp_path / "bg"
+    ds_dir = tmp_path / "ds"
+    bg_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        bg = np.full((256, 224, 3), 235, np.uint8)
+        bg[:: rng.integers(20, 50)] = 200
+        imwrite(str(bg_dir / f"bg{i}.png"), bg)
+    n = render_comictext(str(bg_dir), str(ds_dir), seed=2)
+    assert n == 4
+
+    hyp_common = {
+        "data": {
+            "train_img_dir": str(ds_dir),
+            "val_img_dir": str(ds_dir),
+            "imgsz": 128,
+            "augment": False,
+            "save_dir": str(tmp_path / "out"),
+        },
+        "train": {
+            "epochs": 1,
+            "batch_size": 2,
+            "lr0": 1e-3,
+            "lrf": 0.1,
+            "optimizer": "adam",
+            "weight_decay": 0.0,
+            "eval_interval": 1,
+            "accumulation_steps": 1,
+            "loss": "dice",
+        },
+    }
+
+    # 2. train U-Net head a few steps
+    from comic_text_detector_tpu.training import seg_trainer
+
+    seg_out = seg_trainer.train(hyp_common, max_steps=2)
+    seg_state = seg_out["state"]
+
+    # 3. graft + train DB head a few steps
+    from comic_text_detector_tpu.constants import TEXTDET_DET
+    from comic_text_detector_tpu.models.detector import build_train_model
+    from comic_text_detector_tpu.training import db_trainer
+
+    unet_variables = {
+        "params": {"backbone": seg_state.frozen["backbone"], "seg_net": seg_state.params},
+        "batch_stats": seg_state.batch_stats,
+    }
+    db_hyp = dict(hyp_common)
+    db_hyp["train"] = {**hyp_common["train"], "loss": "bce"}
+    db_out = db_trainer.train(db_hyp, unet_variables=unet_variables, max_steps=2)
+    db_state = db_out["state"]
+    assert np.isfinite(db_out["last_metrics"]["loss"])
+
+    # 4. merge trained pieces into the deploy model (concate_models analog)
+    from comic_text_detector_tpu.export import concate_models
+    from comic_text_detector_tpu.pipeline import TextDetector
+
+    blk = {
+        "params": seg_state.frozen["backbone"],
+        "batch_stats": seg_state.batch_stats["backbone"],
+    }
+    # deploy blk_det must be the FULL detect graph; the trainer uses the
+    # truncated backbone, so build a full graph and splice the backbone in.
+    from comic_text_detector_tpu.models.detector import build_inference_model, init_variables
+
+    model = build_inference_model(act="leaky")
+    deploy = init_variables(model, jax.random.PRNGKey(0), input_size=128)
+    for k, v in blk["params"].items():
+        deploy["params"]["blk_det"][k] = v
+        deploy["batch_stats"]["blk_det"][k] = blk["batch_stats"][k]
+    deploy["params"]["text_seg"] = seg_state.params
+    deploy["batch_stats"]["text_seg"] = seg_state.batch_stats["seg_net"]
+    deploy["params"]["text_det"] = db_state.params
+    deploy["batch_stats"]["text_det"] = db_state.batch_stats["dbnet"]
+
+    det = TextDetector(variables=deploy, input_size=128, act="leaky")
+    from comic_text_detector_tpu.utils.io import imread
+
+    page = imread(str(ds_dir / "bg0.png"))
+    mask, mask_refined, blk_list = det(page)
+    assert mask.shape == page.shape[:2]
+    # trained-for-2-steps nets are not accurate, but the pipeline must run
+    assert isinstance(blk_list, list)
