@@ -122,6 +122,24 @@ def letterbox_np(img: np.ndarray, new_shape: int | Tuple[int, int]) -> Tuple[np.
     return out, (r, r), (dw, dh)
 
 
+def resize_bilinear_fast(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Fast host bilinear resize.
+
+    Upscales go through PIL's SIMD path (identical sampling convention,
+    within ±1 uint8 level of cv2); downscales use the exact gather-based
+    implementation (PIL antialiases downscales, cv2/this framework do not).
+    """
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return img.copy()
+    if oh >= h and ow >= w and img.dtype == np.uint8:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(img).resize((ow, oh), Image.BILINEAR))
+    return resize_bilinear_np(img, out_hw)
+
+
 def resize_keepasp_np(img: np.ndarray, max_size: int) -> np.ndarray:
     """Aspect-keeping resize (reference resize_keepasp, imgproc_utils.py:119)."""
     h, w = img.shape[:2]

@@ -27,7 +27,7 @@ from comic_text_detector_tpu.models.detector import build_inference_model, init_
 from comic_text_detector_tpu.config import YOLOV5S_CFG
 from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects, db_decode_full_device
 from comic_text_detector_tpu.ops.nms import nms_single
-from comic_text_detector_tpu.ops.resize import letterbox_np, letterbox_shape, resize_bilinear_np
+from comic_text_detector_tpu.ops.resize import letterbox_np, letterbox_shape, resize_bilinear_fast, resize_bilinear_np
 from comic_text_detector_tpu.postproc.textblock import group_output
 from comic_text_detector_tpu.postproc.textmask import refine_mask, refine_undetected_mask
 
@@ -137,7 +137,7 @@ class BatchTextDetector:
                 keep = scores > self.box_thresh
                 lines, scores = lines[keep], scores[keep]
             mask = masks_u8[i][: size - dh, : size - dw]
-            mask = resize_bilinear_np(mask, (im_h, im_w))
+            mask = resize_bilinear_fast(mask, (im_h, im_w))
             if lines.size == 0:
                 lines = []
             else:

@@ -32,7 +32,7 @@ from comic_text_detector_tpu.ops.db_decode import (
     db_device_decode,
 )
 from comic_text_detector_tpu.ops.nms import nms_single
-from comic_text_detector_tpu.ops.resize import letterbox_shape, resize_bilinear, resize_bilinear_np
+from comic_text_detector_tpu.ops.resize import letterbox_shape, resize_bilinear, resize_bilinear_fast, resize_bilinear_np
 from comic_text_detector_tpu.postproc.textblock import TextBlock, group_output
 from comic_text_detector_tpu.postproc.textmask import refine_mask, refine_undetected_mask
 
@@ -171,7 +171,7 @@ class TextDetector:
             lines, scores = lines[keep], scores[keep]
 
         # map outputs back to the original page (mask comes cropped from device)
-        mask = resize_bilinear_np(mask_u8, (im_h, im_w))
+        mask = resize_bilinear_fast(mask_u8, (im_h, im_w))
         if lines.size == 0:
             lines = []
         else:
