@@ -94,13 +94,13 @@ class BatchTextDetector:
 
         return infer
 
-    def process_batch(
-        self,
-        pages: Sequence[np.ndarray],
-        refine_mode: int = C.REFINEMASK_INPAINT,
-        keep_undetected_mask: bool = False,
-    ) -> List[Tuple[np.ndarray, np.ndarray, list]]:
-        """Run <=batch_size BGR pages; returns [(mask, mask_refined, blk_list)]."""
+    def submit(self, pages: Sequence[np.ndarray]):
+        """Letterbox + enqueue one batch on device (non-blocking).
+
+        Returns an opaque ticket for :meth:`collect`; keep one in flight to
+        overlap device compute with the previous batch's download +
+        host post-processing.
+        """
         size = self.size
         metas = []
         batch = np.zeros((self.batch_size, size, size, 3), np.uint8)
@@ -110,17 +110,27 @@ class BatchTextDetector:
             lb, _, _ = letterbox_np(img, size)
             batch[i] = lb
             metas.append((im_h, im_w, dw, dh))
-
         if self.mesh is not None:
             from comic_text_detector_tpu.parallel.mesh import shard_batch_spec
 
             device_batch = jax.device_put(batch, shard_batch_spec(self.mesh, 4))
         else:
             device_batch = jnp.asarray(batch)
-        rows, counts, masks_u8, dboxes, dscores, dvalid = jax.device_get(
-            self._infer(self.variables, device_batch)
-        )
+        outputs = self._infer(self.variables, device_batch)
+        # start the device->host copies without blocking
+        for o in jax.tree_util.tree_leaves(outputs):
+            o.copy_to_host_async()
+        return outputs, metas, list(pages)
 
+    def collect(
+        self,
+        ticket,
+        refine_mode: int = C.REFINEMASK_INPAINT,
+        keep_undetected_mask: bool = False,
+    ) -> List[Tuple[np.ndarray, np.ndarray, list]]:
+        outputs, metas, pages = ticket
+        size = self.size
+        rows, counts, masks_u8, dboxes, dscores, dvalid = jax.device_get(outputs)
         out = []
         for i, page in enumerate(pages):
             im_h, im_w, dw, dh = metas[i]
@@ -152,6 +162,15 @@ class BatchTextDetector:
             out.append((mask, mask_refined, blk_list))
         return out
 
+    def process_batch(
+        self,
+        pages: Sequence[np.ndarray],
+        refine_mode: int = C.REFINEMASK_INPAINT,
+        keep_undetected_mask: bool = False,
+    ) -> List[Tuple[np.ndarray, np.ndarray, list]]:
+        """Run <=batch_size BGR pages; returns [(mask, mask_refined, blk_list)]."""
+        return self.collect(self.submit(pages), refine_mode, keep_undetected_mask)
+
     def stream(
         self,
         images: Iterable[np.ndarray],
@@ -178,8 +197,14 @@ class BatchTextDetector:
                 q.put(stop)
 
         threading.Thread(target=producer, daemon=True).start()
+        in_flight = None
         while True:
             chunk = q.get()
             if chunk is stop:
                 break
-            yield from self.process_batch(chunk, refine_mode, keep_undetected_mask)
+            ticket = self.submit(chunk)
+            if in_flight is not None:
+                yield from self.collect(in_flight, refine_mode, keep_undetected_mask)
+            in_flight = ticket
+        if in_flight is not None:
+            yield from self.collect(in_flight, refine_mode, keep_undetected_mask)
