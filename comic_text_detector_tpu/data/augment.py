@@ -7,8 +7,7 @@ negation, and PIL-based rotation with polygon rotation (db_dataset.py:160-174).
 
 from __future__ import annotations
 
-import random
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

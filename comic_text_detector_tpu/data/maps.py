@@ -8,7 +8,7 @@ fields.  Runs in the input pipeline (host), not the hot path.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

@@ -14,7 +14,6 @@ converted checkpoints equivalent.
 from __future__ import annotations
 
 import glob
-import os
 import os.path as osp
 import queue
 import random

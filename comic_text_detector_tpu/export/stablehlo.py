@@ -11,12 +11,10 @@ torch-vs-OpenCV-DNN cross-backend regression test (inference.py:202-209).
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from comic_text_detector_tpu.config import YOLOV5S_CFG
 from comic_text_detector_tpu.models.detector import build_inference_model

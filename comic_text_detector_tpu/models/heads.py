@@ -8,13 +8,13 @@ torch-exact ConvTranspose semantics (ops/nn.py).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from comic_text_detector_tpu.constants import TEXTDET_DET, TEXTDET_INFERENCE, TEXTDET_MASK
+from comic_text_detector_tpu.constants import TEXTDET_DET, TEXTDET_MASK
 from comic_text_detector_tpu.models.blocks import (
     BatchNorm,
     C3,

@@ -19,7 +19,7 @@ Everything is static-shape; ragged component sets are (arrays, count).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ the heavy pixel work stays on device (ops/cc.py, ops/db_decode.py).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from comic_text_detector_tpu.constants import LETTERBOX_STRIDE
 
 
 def _lerp_weights(dst: int, src: int):

@@ -13,7 +13,6 @@ This is the TPU replacement for the reference's serial per-page loop
 
 from __future__ import annotations
 
-import functools
 import queue
 import threading
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
@@ -27,7 +26,7 @@ from comic_text_detector_tpu.models.detector import build_inference_model, init_
 from comic_text_detector_tpu.config import YOLOV5S_CFG
 from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects, db_decode_full_device
 from comic_text_detector_tpu.ops.nms import nms_single
-from comic_text_detector_tpu.ops.resize import letterbox_np, letterbox_shape, resize_bilinear_fast, resize_bilinear_np
+from comic_text_detector_tpu.ops.resize import letterbox_device, letterbox_shape, resize_bilinear_fast
 from comic_text_detector_tpu.postproc.textblock import group_output
 from comic_text_detector_tpu.postproc.textmask import refine_mask, refine_undetected_mask
 
@@ -78,10 +77,9 @@ class BatchTextDetector:
         size = self.size
 
         @jax.jit
-        def infer(variables, imgs_u8):
-            """(B, S, S, 3) uint8 -> per-page NMS rows/counts, uint8 masks,
-            on-device DB rects — one dispatch, compact transfers."""
-            x = imgs_u8.astype(jnp.float32) / 255.0
+        def infer(variables, x):
+            """(B, S, S, 3) float [0,1] -> per-page NMS rows/counts, uint8
+            masks, on-device DB rects — one dispatch, compact transfers."""
             blks, mask, lines = self.model.apply(variables, x)
             rows, counts = jax.vmap(
                 lambda p: nms_single(p.astype(jnp.float32), self.conf_thresh, self.nms_thresh)
@@ -99,24 +97,32 @@ class BatchTextDetector:
 
         Returns an opaque ticket for :meth:`collect`; keep one in flight to
         overlap device compute with the previous batch's download +
-        host post-processing.
+        host post-processing.  Letterboxing runs ON DEVICE (per-page-shape
+        cached jits) — the 1-vCPU host can't hide a NumPy resize behind
+        device compute.
         """
         size = self.size
         metas = []
-        batch = np.zeros((self.batch_size, size, size, 3), np.uint8)
-        for i, img in enumerate(pages):
+        lbs = []
+        for img in pages:
             im_h, im_w = img.shape[:2]
-            nh, nw, dw, dh, r = letterbox_shape(im_h, im_w, size)
-            lb, _, _ = letterbox_np(img, size)
-            batch[i] = lb
+            _, _, dw, dh, _ = letterbox_shape(im_h, im_w, size)
+            lbs.append(letterbox_device(jnp.asarray(img), size))
             metas.append((im_h, im_w, dw, dh))
+        while len(lbs) < self.batch_size:
+            lbs.append(jnp.zeros((size, size, 3), jnp.float32))
+        device_batch = jnp.stack(lbs)
         if self.mesh is not None:
             from comic_text_detector_tpu.parallel.mesh import shard_batch_spec
 
-            device_batch = jax.device_put(batch, shard_batch_spec(self.mesh, 4))
-        else:
-            device_batch = jnp.asarray(batch)
+            device_batch = jax.device_put(device_batch, shard_batch_spec(self.mesh, 4))
         outputs = self._infer(self.variables, device_batch)
+        # crop masks to the batch's shared content region before transfer
+        min_dh = min(m[3] for m in metas)
+        min_dw = min(m[2] for m in metas)
+        rows, counts, masks_u8, boxes, scores, valid = outputs
+        masks_u8 = masks_u8[:, : size - min_dh, : size - min_dw]
+        outputs = (rows, counts, masks_u8, boxes, scores, valid)
         # start the device->host copies without blocking
         for o in jax.tree_util.tree_leaves(outputs):
             o.copy_to_host_async()

@@ -24,15 +24,9 @@ from comic_text_detector_tpu import constants as C
 from comic_text_detector_tpu.config import YOLOV5S_CFG
 from comic_text_detector_tpu.models.convert import load_textdet_base_variables
 from comic_text_detector_tpu.models.detector import build_inference_model, init_variables
-from comic_text_detector_tpu.ops.cc import ComponentStats
-from comic_text_detector_tpu.ops.db_decode import (
-    boxes_from_device_rects,
-    boxes_from_stats,
-    db_decode_full_device,
-    db_device_decode,
-)
+from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects, db_decode_full_device
 from comic_text_detector_tpu.ops.nms import nms_single
-from comic_text_detector_tpu.ops.resize import letterbox_shape, resize_bilinear, resize_bilinear_fast, resize_bilinear_np
+from comic_text_detector_tpu.ops.resize import letterbox_shape, resize_bilinear, resize_bilinear_fast
 from comic_text_detector_tpu.postproc.textblock import TextBlock, group_output
 from comic_text_detector_tpu.postproc.textmask import refine_mask, refine_undetected_mask
 

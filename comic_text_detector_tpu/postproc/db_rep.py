@@ -13,7 +13,6 @@ map either way.
 
 from __future__ import annotations
 
-from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from comic_text_detector_tpu.constants import LANG_LIST, LANGCLS2IDX
+from comic_text_detector_tpu.constants import LANG_LIST
 from comic_text_detector_tpu.ops import geometry as geo
 from comic_text_detector_tpu.utils.imgproc import (
     intersect_area,

@@ -16,7 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from comic_text_detector_tpu.constants import REFINEMASK_ANNOTATION, REFINEMASK_INPAINT
+from comic_text_detector_tpu.constants import REFINEMASK_INPAINT
 from comic_text_detector_tpu.postproc.textblock import TextBlock
 from comic_text_detector_tpu.ops.geometry import fill_polygons
 from comic_text_detector_tpu.utils.imgproc import (

@@ -15,20 +15,16 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from comic_text_detector_tpu.constants import TEXTDET_MASK
 from comic_text_detector_tpu.data.seg_dataset import create_dataloader
 from comic_text_detector_tpu.models.detector import build_train_model
 from comic_text_detector_tpu.training import checkpoint as ckpt_lib
 from comic_text_detector_tpu.training.metrics import pixel_prf1
 from comic_text_detector_tpu.training.steps import (
-    TrainState,
     create_seg_train_state,
     make_seg_eval_step,
     make_seg_train_step,
-    one_cycle,
 )
 from comic_text_detector_tpu.utils.log import LOGGER, Loggers
 

@@ -9,8 +9,7 @@ mesh-ready: with params replicated and the batch dim sharded over a
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import flax.struct
 import jax

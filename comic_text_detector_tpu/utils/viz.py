@@ -4,7 +4,7 @@ Colors :83 / draw_bbox :230 and imgproc_utils draw_connected_labels :163)."""
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from PIL import Image, ImageDraw
