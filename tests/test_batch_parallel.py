@@ -65,3 +65,14 @@ def test_stream(pages):
     bdet = BatchTextDetector.random_init(batch_size=2, input_size=256, half=False)
     results = list(bdet.stream(iter(pages)))
     assert len(results) == 4
+
+
+def test_host_sharded_dataset():
+    from comic_text_detector_tpu.parallel.loader import HostShardedDataset
+
+    data = list(range(10))
+    shards = [HostShardedDataset(data, process_index=i, process_count=3) for i in range(3)]
+    seen = []
+    for s in shards:
+        seen += [s[i] for i in range(len(s))]
+    assert sorted(seen) == data
