@@ -194,6 +194,35 @@ def boxes_from_stats(
 
     boxes: List[np.ndarray] = []
     scores: List[float] = []
+
+    from comic_text_detector_tpu.native import get_native
+
+    native = get_native()
+    if native is not None:
+        n_comp = int((area[1:] > 0).sum())
+        if n_comp == 0:
+            return np.zeros((0, 4, 2), np.int32), np.zeros((0,), np.float32)
+        nboxes, nssides, _ = native.component_min_area_rects(
+            labels_np.astype(np.int32), int(len(area) - 1), None, unclip_ratio
+        )
+        n = 0
+        for i in range(1, len(area)):
+            if area[i] <= 0:
+                continue
+            n += 1
+            if n > max_candidates:
+                break
+            if nssides[i - 1] < min_sside:
+                continue
+            box = geo.order_rect_points(nboxes[i - 1])
+            box[:, 0] = np.clip(np.round(box[:, 0] / src_width * dest_width), 0, dest_width)
+            box[:, 1] = np.clip(np.round(box[:, 1] / src_height * dest_height), 0, dest_height)
+            boxes.append(box.astype(np.int32))
+            scores.append(float(vsum[i] / area[i]))
+        if boxes:
+            return np.stack(boxes), np.asarray(scores, np.float32)
+        return np.zeros((0, 4, 2), np.int32), np.zeros((0,), np.float32)
+
     n = 0
     for i in range(1, len(area)):
         if area[i] <= 0:
