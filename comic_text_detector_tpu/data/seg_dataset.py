@@ -191,12 +191,15 @@ class PrefetchLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        error: list = []
 
         def worker():
             try:
                 for idxs in batches:
                     items = [self.dataset[i] for i in idxs]
                     q.put(tuple(np.stack(col) for col in zip(*items)) if not isinstance(items[0], dict) else _stack_dicts(items))
+            except BaseException as e:  # surface loader errors in the consumer
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -207,6 +210,8 @@ class PrefetchLoader:
             if item is stop:
                 break
             yield item
+        if error:
+            raise error[0]
 
 
 def _stack_dicts(items):

@@ -165,9 +165,11 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
     post_process = SegDetectorRepresenter(thresh=0.5)
     eval_interval = hyp_train.get("eval_interval", 1)
     total_steps = 0
-    means = {"loss": 0.0, "loss_shrink_maps": 0.0, "loss_threshold_maps": 0.0, "loss_binary_maps": 0.0}
+    keys = ("loss", "loss_shrink_maps", "loss_threshold_maps", "loss_binary_maps")
+    means = {k: 0.0 for k in keys}
 
     for epoch in range(start_epoch, epochs):
+        epoch_metrics = {k: [] for k in keys}  # device scalars, synced per epoch
         for i, batch in enumerate(train_loader):
             if (i + 2) % 256 == 0:
                 train_dataset.initialize()
@@ -177,11 +179,14 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
                 if k in ("imgs", "shrink_map", "shrink_mask", "threshold_map", "threshold_mask")
             }
             state, metrics = train_step(state, jb)
-            for k in means:
-                means[k] = (means[k] * i + float(metrics[k])) / (i + 1)
+            for k in keys:
+                epoch_metrics[k].append(metrics[k])
             total_steps += 1
             if max_steps is not None and total_steps >= max_steps:
                 break
+        for k in keys:
+            if epoch_metrics[k]:
+                means[k] = float(jnp.mean(jnp.stack(epoch_metrics[k])))
 
         if (epoch + 1) % eval_interval == 0 or (max_steps and total_steps >= max_steps):
             recall, precision, fmeasure = eval_model(eval_step, state, val_loader, post_process, metric_cls)

@@ -34,6 +34,25 @@ class AverageMeter:
         return self
 
 
+def iou_rotate(box_a: np.ndarray, box_b: np.ndarray, method: str = "union") -> float:
+    """IoU of the min-area rotated rects of two point sets (reference
+    utils/db_utils.py iou_rotate :11-30, sans cv2.rotatedRectangleIntersection)."""
+    ra, _ = geo.min_area_rect(np.asarray(box_a, np.float64))
+    rb, _ = geo.min_area_rect(np.asarray(box_b, np.float64))
+    inter = geo.intersection_area_convex(ra, rb)
+    area_a = abs(geo.shoelace_area(np.asarray(box_a, np.float64)))
+    area_b = abs(geo.shoelace_area(np.asarray(box_b, np.float64)))
+    if inter == 0:
+        return 0.0
+    if method == "union":
+        union = area_a + area_b - inter
+        return inter / union if union > 0 else 0.0
+    if method == "intersection":
+        m = min(area_a, area_b)
+        return inter / m if m > 0 else 0.0
+    raise NotImplementedError(method)
+
+
 def _poly_valid(points: np.ndarray) -> bool:
     points = np.asarray(points, np.float64)
     return len(points) >= 3 and abs(geo.shoelace_area(points)) > 0

@@ -124,13 +124,15 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None) -> Dict:
 
     for epoch in range(start_epoch, epochs):
         train_dataset.initialize()
-        m_loss = 0.0
+        losses = []  # device scalars; synced once per epoch (remote-TPU
+        # round trips per step would dominate wall-clock otherwise)
         for i, (imgs, masks) in enumerate(train_loader):
             state, metrics = train_step(state, jnp.asarray(imgs), jnp.asarray(masks))
-            m_loss = (m_loss * i + float(metrics["loss"])) / (i + 1)
+            losses.append(metrics["loss"])
             total_steps += 1
             if max_steps is not None and total_steps >= max_steps:
                 break
+        m_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
         if (epoch + 1) % eval_interval == 0 or (max_steps and total_steps >= max_steps):
             tp = gt = pr = 0.0
