@@ -175,11 +175,18 @@ def parse_graph(cfg: dict, max_layer: int | None = None) -> GraphSpec:
             ch = []
         ch.append(c2)
 
+    # anchor order must match stride order (reference check_anchor_order,
+    # utils/yolov5_utils.py:45-51): flip when areas descend while strides ascend
+    anchors_t = tuple(tuple(float(v) for v in a) for a in anchors)
+    areas = [sum(a[i] * a[i + 1] for i in range(0, len(a), 2)) for a in anchors_t]
+    if len(areas) > 1 and areas[-1] < areas[0]:
+        anchors_t = anchors_t[::-1]
+
     return GraphSpec(
         layers=tuple(layers),
         save=tuple(sorted(save)),
         nc=nc,
-        anchors=tuple(tuple(float(v) for v in a) for a in anchors),
+        anchors=anchors_t,
         ch_in=cfg.get("ch", 3),
     )
 

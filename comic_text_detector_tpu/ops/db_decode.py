@@ -77,11 +77,14 @@ def db_decode_full_device(
     )
     boundary = (labels > 0) & ~nbr_same
     key = jnp.where(boundary, labels, big).reshape(-1)
-    xs = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
-    ys = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
-    skey, bx, by = jax.lax.sort([key, xs, ys], num_keys=1)
+    # sort key + linear index only (f32 payloads through a 1M sort cost
+    # ~4 ms each); coordinates come from an 8K gather afterwards
+    lin = jnp.arange(h * w, dtype=jnp.int32)
+    skey, sidx = jax.lax.sort([key, lin], num_keys=1)
     k = min(max_boundary, skey.shape[0])
-    skey, bx, by = skey[:k], bx[:k], by[:k]
+    skey, sidx = skey[:k], sidx[:k]
+    bx = (sidx % w).astype(jnp.float32)
+    by = (sidx // w).astype(jnp.float32)
     valid_pt = skey < big
 
     # dense component ids in sorted (row-major-min-index) order

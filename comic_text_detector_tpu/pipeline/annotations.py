@@ -80,3 +80,41 @@ def model2annotations(
                 f.write(json.dumps(blk_dict_list, ensure_ascii=False, cls=NumpyEncoder))
         imwrite(osp.join(save_dir, imgname), img)
         imwrite(osp.join(save_dir, maskname), mask_refined)
+
+
+def traverse_by_dict(
+    img_dir_list: Union[str, List[str]],
+    dict_dir: str,
+    save_dir: Union[str, None] = None,
+) -> None:
+    """Re-load saved block dicts + masks, re-run refinement and save
+    visualizations (the reference's traverse_by_dict debug loop,
+    inference.py:180-200, writing files instead of cv2.imshow)."""
+    import os
+
+    from comic_text_detector_tpu.postproc.textblock import TextBlock, visualize_textblocks
+    from comic_text_detector_tpu.postproc.textmask import refine_mask
+
+    if isinstance(img_dir_list, str):
+        img_dir_list = [img_dir_list]
+    save_dir = save_dir or dict_dir
+    os.makedirs(save_dir, exist_ok=True)
+    imglist: List[str] = []
+    for img_dir in img_dir_list:
+        imglist += find_all_imgs(img_dir, abs_path=True)
+    for img_path in imglist:
+        imgname = osp.basename(img_path)
+        imname = imgname.replace(Path(imgname).suffix, "")
+        mask_path = osp.join(dict_dir, "mask-" + imname + ".png")
+        json_path = osp.join(dict_dir, imname + ".json")
+        if not (osp.exists(mask_path) and osp.exists(json_path)):
+            continue
+        with open(json_path, "r", encoding="utf8") as f:
+            blk_list = [TextBlock(**d) for d in json.loads(f.read())]
+        img = imread(img_path)
+        mask = imread(mask_path, grayscale=True)
+        mask = refine_mask(img, mask, blk_list)
+        canvas = img.copy()
+        visualize_textblocks(canvas, blk_list)
+        imwrite(osp.join(save_dir, "viz-" + imname + ".png"), canvas)
+        imwrite(osp.join(save_dir, "refined-" + imname + ".png"), mask)

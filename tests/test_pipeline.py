@@ -106,3 +106,18 @@ def test_native_save_load(tmp_path, detector, page):
     m2, _, b2 = det2(page)
     np.testing.assert_array_equal(m1, m2)
     assert len(b1) == len(b2)
+
+
+def test_traverse_by_dict(tmp_path, detector, page):
+    from comic_text_detector_tpu.pipeline import traverse_by_dict
+    import comic_text_detector_tpu.utils.io as io
+    import os.path as osp
+
+    src = tmp_path / "imgs2"
+    dst = tmp_path / "out2"
+    src.mkdir()
+    dst.mkdir()
+    io.imwrite(str(src / "pg.png"), page)
+    model2annotations(detector, str(src), str(dst), save_json=True, progress=False)
+    traverse_by_dict(str(src), str(dst))
+    assert osp.exists(dst / "viz-pg.png") and osp.exists(dst / "refined-pg.png")
