@@ -188,6 +188,7 @@ class BatchTextDetector:
         device run of batch k."""
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         stop = object()
+        error: List[BaseException] = []
 
         def producer():
             chunk: List[np.ndarray] = []
@@ -199,6 +200,8 @@ class BatchTextDetector:
                         chunk = []
                 if chunk:
                     q.put(chunk)
+            except BaseException as e:  # surface source errors in the consumer
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -214,3 +217,5 @@ class BatchTextDetector:
             in_flight = ticket
         if in_flight is not None:
             yield from self.collect(in_flight, refine_mode, keep_undetected_mask)
+        if error:
+            raise error[0]
