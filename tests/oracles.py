@@ -26,6 +26,57 @@ def _stub(name: str, **attrs):
     return m
 
 
+class _FakePolygon:
+    """Minimal shapely.geometry.Polygon stand-in backed by this framework's
+    geometry (convex operations — sufficient for the reference's quads)."""
+
+    def __init__(self, points):
+        import numpy as np
+
+        self.pts = np.asarray(points, dtype=float).reshape(-1, 2)
+
+    @property
+    def area(self):
+        from comic_text_detector_tpu.ops import geometry as geo
+
+        return abs(geo.shoelace_area(self.pts))
+
+    @property
+    def length(self):
+        from comic_text_detector_tpu.ops import geometry as geo
+
+        return geo.perimeter(self.pts)
+
+    @property
+    def is_valid(self):
+        return len(self.pts) >= 3 and self.area > 0
+
+    @property
+    def is_simple(self):
+        return True  # reference quads are simple
+
+    def intersects(self, other):
+        from comic_text_detector_tpu.ops import geometry as geo
+
+        return geo.convex_polygons_intersect(self.pts, other.pts)
+
+    def intersection(self, other):
+        from comic_text_detector_tpu.ops import geometry as geo
+
+        inter = geo.clip_polygon_convex(self.pts, other.pts)
+        return _FakePolygon(inter if len(inter) else [[0, 0], [0, 0], [0, 0]])
+
+    def union(self, other):
+        area = self.area + other.area - self.intersection(other).area
+
+        class _U:
+            pass
+
+        u = _U()
+        u.area = area
+        return u
+
+
 _loaded = False
 
 
@@ -55,7 +106,7 @@ def load_reference():
     tv = _stub("torchvision")
     tv.ops = _stub("torchvision.ops", nms=None)
     sh = _stub("shapely")
-    sh.geometry = _stub("shapely.geometry", Polygon=None)
+    sh.geometry = _stub("shapely.geometry", Polygon=_FakePolygon)
     _stub("pyclipper", PyclipperOffset=None, JT_ROUND=2, ET_CLOSEDPOLYGON=1)
     _stub("numexpr", detect_number_of_cores=lambda: 1)
     if REF not in sys.path:
