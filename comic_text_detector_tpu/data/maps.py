@@ -54,7 +54,7 @@ class MakeShrinkMap:
                     mask[geo.fill_polygon(polygon.astype(np.int32), h, w) > 0] = 0
                     ignore_tags[i] = True
                     continue
-                gt[geo.fill_polygon(shrunk.astype(np.int32), h, w) > 0] = 1
+                gt[geo.fill_polygon(np.round(shrunk).astype(np.int32), h, w) > 0] = 1
         data["shrink_map"] = gt
         data["shrink_mask"] = mask
         return data
@@ -109,7 +109,7 @@ class MakeBorderMap:
         padded = geo.offset_polygon(polygon, distance)
         if len(padded) < 3:
             return
-        mask[geo.fill_polygon(padded.astype(np.int32), mask.shape[0], mask.shape[1]) > 0] = 1.0
+        mask[geo.fill_polygon(np.round(padded).astype(np.int32), mask.shape[0], mask.shape[1]) > 0] = 1.0
 
         xmin = int(padded[:, 0].min())
         xmax = int(np.ceil(padded[:, 0].max()))

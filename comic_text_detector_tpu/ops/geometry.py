@@ -291,7 +291,6 @@ def fill_polygons(polys, h: int, w: int) -> np.ndarray:
             continue
         ymin = max(int(math.floor(poly[:, 1].min())), 0)
         ymax = min(int(math.ceil(poly[:, 1].max())), h - 1)
-        xs_edges = []
         n = len(poly)
         for y in range(ymin, ymax + 1):
             xs = []
@@ -309,4 +308,19 @@ def fill_polygons(polys, h: int, w: int) -> np.ndarray:
                 x1_ = min(int(math.floor(xs[j + 1] + 0.5)), w - 1)
                 if x1_ >= x0:
                     mask[y, x0 : x1_ + 1] = 1
+        # cv2.fillPoly also paints the outline itself: rasterize edges
+        for i in range(n):
+            _draw_line(mask, poly[i], poly[(i + 1) % n])
     return mask
+
+
+def _draw_line(mask: np.ndarray, p0, p1) -> None:
+    """Bresenham-style edge rasterization (outline pixels, clipped)."""
+    h, w = mask.shape
+    x0, y0 = int(round(p0[0])), int(round(p0[1]))
+    x1, y1 = int(round(p1[0])), int(round(p1[1]))
+    steps = max(abs(x1 - x0), abs(y1 - y0), 1)
+    xs = np.round(np.linspace(x0, x1, steps + 1)).astype(int)
+    ys = np.round(np.linspace(y0, y1, steps + 1)).astype(int)
+    keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    mask[ys[keep], xs[keep]] = 1

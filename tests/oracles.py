@@ -77,6 +77,29 @@ class _FakePolygon:
         return u
 
 
+class _FakePyclipperOffset:
+    """pyclipper.PyclipperOffset stand-in backed by this framework's
+    round-join polygon offset (ops/geometry.py)."""
+
+    def __init__(self):
+        self.path = None
+
+    def AddPath(self, path, join_type=None, end_type=None):
+        import numpy as np
+
+        self.path = np.asarray(path, dtype=float).reshape(-1, 2)
+
+    def Execute(self, delta):
+        import numpy as np
+
+        from comic_text_detector_tpu.ops import geometry as geo
+
+        out = geo.offset_polygon(self.path, float(delta), arc_step=0.3)
+        if len(out) < 3:
+            return []
+        return [np.round(out).astype(np.int64).tolist()]
+
+
 _loaded = False
 
 
@@ -107,7 +130,7 @@ def load_reference():
     tv.ops = _stub("torchvision.ops", nms=None)
     sh = _stub("shapely")
     sh.geometry = _stub("shapely.geometry", Polygon=_FakePolygon)
-    _stub("pyclipper", PyclipperOffset=None, JT_ROUND=2, ET_CLOSEDPOLYGON=1)
+    _stub("pyclipper", PyclipperOffset=_FakePyclipperOffset, JT_ROUND=2, ET_CLOSEDPOLYGON=1)
     _stub("numexpr", detect_number_of_cores=lambda: 1)
     if REF not in sys.path:
         sys.path.insert(0, REF)
