@@ -77,6 +77,33 @@ class _FakePolygon:
         return u
 
 
+def _greedy_nms_torch(boxes, scores, iou_threshold):
+    """torchvision.ops.nms contract: indices of kept boxes, score-descending
+    greedy suppression (exact reference semantics)."""
+    import numpy as np
+    import torch
+
+    b = boxes.detach().cpu().numpy()
+    s = scores.detach().cpu().numpy()
+    order = np.argsort(-s, kind="stable")
+    suppressed = np.zeros(len(b), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        x1 = np.maximum(b[i, 0], b[:, 0])
+        y1 = np.maximum(b[i, 1], b[:, 1])
+        x2 = np.minimum(b[i, 2], b[:, 2])
+        y2 = np.minimum(b[i, 3], b[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area_i = (b[i, 2] - b[i, 0]) * (b[i, 3] - b[i, 1])
+        areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        iou = inter / (area_i + areas - inter + 1e-9)
+        suppressed |= iou > iou_threshold
+    return torch.as_tensor(keep, dtype=torch.int64)
+
+
 class _FakePyclipperOffset:
     """pyclipper.PyclipperOffset stand-in backed by this framework's
     round-join polygon offset (ops/geometry.py)."""
@@ -124,10 +151,16 @@ def load_reference():
                 return self.parts == o.parts
 
         _stub("pkg_resources", parse_version=lambda s: _V(s))
+    import numpy as _np
+
+    # numpy-2 compat shims for the reference's io_utils aliases
+    for name, val in (("bool8", _np.bool_), ("float_", _np.float64), ("int_", _np.int64)):
+        if not hasattr(_np, name):
+            setattr(_np, name, val)
     _stub("torchsummary", summary=lambda *a, **k: None)
     _stub("wandb", init=lambda **k: None)
     tv = _stub("torchvision")
-    tv.ops = _stub("torchvision.ops", nms=None)
+    tv.ops = _stub("torchvision.ops", nms=_greedy_nms_torch)
     sh = _stub("shapely")
     sh.geometry = _stub("shapely.geometry", Polygon=_FakePolygon)
     _stub("pyclipper", PyclipperOffset=_FakePyclipperOffset, JT_ROUND=2, ET_CLOSEDPOLYGON=1)

@@ -1,0 +1,84 @@
+"""THE end-to-end golden parity test: the reference's complete
+TextDetector.__call__ (inference.py:142-178) executed with identical weights
+vs this framework's pipeline — masks, refined masks, and block lists.
+
+The reference runs with its real torch/cv2 code; only its absent deps are
+stubbed (pyclipper/shapely/torchvision-nms backed by this framework's own
+geometry — themselves parity-tested against cv2/greedy oracles)."""
+
+import numpy as np
+import pytest
+
+import cv2
+
+from comic_text_detector_tpu.config import YOLOV5S_CFG
+from comic_text_detector_tpu.models.convert import convert_combined_checkpoint
+from comic_text_detector_tpu.pipeline import TextDetector
+
+from tests import oracles
+from tests.test_textdetbase import make_torch_combo
+
+EXAMPLE = "/root/reference/data/examples/AisazuNihaIrarenai-003.jpg"
+
+
+@pytest.fixture(scope="module")
+def both_detectors(tmp_path_factory):
+    import torch
+
+    oracles.load_reference()
+    # deploy ckpts store UNFUSED yolo weights (load_yolov5_ckpt fuses at load)
+    blk = oracles.build_torch_yolo(YOLOV5S_CFG, seed=5, fuse=False)
+    seg = oracles.build_torch_unet(act="leaky", seed=6)
+    det = oracles.build_torch_dbhead(act="leaky", seed=7)
+    with torch.no_grad():
+        # saturate the mask head like a trained model: random weights leave
+        # half the sigmoid map at ~0.5 where ±1/255 input quantization flips
+        # threshold pixels; trained masks are near-binary
+        seg.upconv6[0].weight *= 8.0
+    ckpt = {
+        "blk_det": {"cfg": oracles.torch_cfg(YOLOV5S_CFG), "weights": blk.state_dict()},
+        "text_seg": seg.state_dict(),
+        "text_det": det.state_dict(),
+    }
+    path = tmp_path_factory.mktemp("ckpt") / "combined.pt"
+    torch.save(ckpt, str(path))
+
+    import inference as ref_inference  # type: ignore
+
+    ref_det = ref_inference.TextDetector(model_path=str(path), input_size=256, device="cpu", act="leaky")
+    variables, _ = convert_combined_checkpoint(ckpt)
+    my_det = TextDetector(variables=variables, cfg=YOLOV5S_CFG, input_size=256, act="leaky")
+    return ref_det, my_det
+
+
+@pytest.mark.slow
+def test_full_pipeline_golden(both_detectors):
+    ref_det, my_det = both_detectors
+    img = cv2.imread(EXAMPLE)
+    img = cv2.resize(img, (img.shape[1] // 4, img.shape[0] // 4), interpolation=cv2.INTER_LINEAR)
+
+    ref_mask, ref_refined, ref_blks = ref_det(img.copy())
+    my_mask, my_refined, my_blks = my_det(img.copy())
+
+    # --- mask parity (the BASELINE.md IoU >= 0.99 target) ---
+    a, b = my_mask > 127, ref_mask > 127
+    union = np.logical_or(a, b).sum()
+    if union:
+        iou = np.logical_and(a, b).sum() / union
+        assert iou >= 0.99, f"mask IoU {iou:.4f}"
+    assert np.abs(my_mask.astype(int) - ref_mask.astype(int)).mean() < 2.0
+
+    # --- refined mask parity ---
+    ar, br = my_refined > 0, ref_refined > 0
+    union_r = np.logical_or(ar, br).sum()
+    if union_r:
+        iou_r = np.logical_and(ar, br).sum() / union_r
+        assert iou_r >= 0.90, f"refined mask IoU {iou_r:.4f}"
+
+    # --- block list parity: count, reading order, geometry ---
+    assert len(my_blks) == len(ref_blks), f"{len(my_blks)} vs {len(ref_blks)} blocks"
+    for g, r in zip(my_blks, ref_blks):
+        assert g.language == r.language
+        assert g.vertical == r.vertical
+        assert len(g.lines) == len(r.lines)
+        assert np.abs(np.array(g.xyxy) - np.array(r.xyxy)).max() <= 3, f"{g.xyxy} vs {r.xyxy}"
