@@ -64,8 +64,10 @@ def augment_hsv(im: np.ndarray, hgain: float = 0.5, sgain: float = 0.5, vgain: f
     lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
     lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
     out = _hsv_to_bgr_u8(lut_hue[hue], lut_sat[sat], lut_val[val])
-    im[:] = out
-    return im
+    if im.flags.writeable:
+        im[:] = out  # in-place like the reference (cv2 dst=im)
+        return im
+    return out
 
 
 def flip_lr(img: np.ndarray) -> np.ndarray:

@@ -19,7 +19,7 @@ import numpy as np
 from comic_text_detector_tpu.data.augment import augment_hsv, flip_lr, negate, rotate_image_and_polys
 from comic_text_detector_tpu.data.maps import MakeBorderMap, MakeShrinkMap
 from comic_text_detector_tpu.data.seg_dataset import PrefetchLoader
-from comic_text_detector_tpu.ops.resize import letterbox_np, resize_keepasp_np
+from comic_text_detector_tpu.ops.resize import letterbox_fast_np, resize_keepasp_np
 from comic_text_detector_tpu.utils.io import IMG_EXT, imread
 
 
@@ -101,7 +101,7 @@ class DBDataset:
         if max_size is not None:
             if isinstance(max_size, tuple):
                 max_size = max_size[0]
-            img = resize_keepasp_np(img, max_size)
+            img = resize_keepasp_np(img, max_size, fast=True)
         return img, ann
 
     def mini_mosaic(self, img, ann):
@@ -131,8 +131,7 @@ class DBDataset:
         if im_h > im_w and self._rng.random() < self._mini_mosaic:
             img, ann = self.mini_mosaic(img, ann)
         if self._rng.random() < self._augment_hsv:
-            img = np.ascontiguousarray(img)
-            augment_hsv(img)
+            img = augment_hsv(np.ascontiguousarray(img))
         if self._rng.random() < self._flip_lr:
             img = flip_lr(img)
             ann = ann.copy()
@@ -150,7 +149,7 @@ class DBDataset:
         if self._augment:
             img, ann = self._apply_augment(img, ann)
         ignore_tags = [False] * ann.shape[0]
-        img, _, (dw, dh) = letterbox_np(img, self.img_size)
+        img, _, (dw, dh) = letterbox_fast_np(img, self.img_size)
         im_h, im_w = img.shape[:2]
         ann = ann.copy()
         ann[:, :, 0] *= im_w - dw

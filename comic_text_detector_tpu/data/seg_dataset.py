@@ -24,7 +24,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from comic_text_detector_tpu.data.augment import augment_hsv, flip_lr, negate
-from comic_text_detector_tpu.ops.resize import letterbox_np, resize_keepasp_np
+from comic_text_detector_tpu.ops.resize import letterbox_fast_np, resize_keepasp_np
 from comic_text_detector_tpu.utils.io import IMG_EXT, imread
 
 CACHE_CAP_GB = 7.0
@@ -111,19 +111,18 @@ class SegDataset:
         if max_size is not None:
             if isinstance(max_size, tuple):
                 max_size = max_size[0]
-            img = resize_keepasp_np(img, max_size)
-            mask = resize_keepasp_np(mask, max_size)
+            img = resize_keepasp_np(img, max_size, fast=True)
+            mask = resize_keepasp_np(mask, max_size, fast=True)
         return img, mask
 
     def _apply_augment(self, img, mask):
         im_h, im_w = img.shape[:2]
         if im_h > im_w and self._rng.random() < self._mini_mosaic:
             img, mask = self.mini_mosaic(img, mask)
-        img, _, _ = letterbox_np(img, self.img_size)
-        mask, _, _ = letterbox_np(mask, self.img_size)
+        img, _, _ = letterbox_fast_np(img, self.img_size)
+        mask, _, _ = letterbox_fast_np(mask, self.img_size)
         if self._rng.random() < self._augment_hsv:
-            img = np.ascontiguousarray(img)
-            augment_hsv(img)
+            img = augment_hsv(np.ascontiguousarray(img))
         if self._rng.random() < self._flip_lr:
             img, mask = flip_lr(img), flip_lr(mask)
         if self._rng.random() < self._neg:
@@ -154,8 +153,8 @@ class SegDataset:
         if self._augment:
             img, mask = self._apply_augment(img, mask)
         else:
-            img, _, _ = letterbox_np(img, self.img_size)
-            mask, _, _ = letterbox_np(mask, self.img_size)
+            img, _, _ = letterbox_fast_np(img, self.img_size)
+            mask, _, _ = letterbox_fast_np(mask, self.img_size)
         # training color contract: RGB/255 float (see module docstring)
         img = img[:, :, ::-1].astype(np.float32) / 255.0
         mask = (mask > 30).astype(np.float32)

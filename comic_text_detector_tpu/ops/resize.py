@@ -139,8 +139,31 @@ def resize_bilinear_fast(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray
     return resize_bilinear_np(img, out_hw)
 
 
-def resize_keepasp_np(img: np.ndarray, max_size: int) -> np.ndarray:
-    """Aspect-keeping resize (reference resize_keepasp, imgproc_utils.py:119)."""
+def resize_keepasp_np(img: np.ndarray, max_size: int, fast: bool = False) -> np.ndarray:
+    """Aspect-keeping resize (reference resize_keepasp, imgproc_utils.py:119).
+
+    ``fast=True`` routes uint8 images through PIL's SIMD resampler (the
+    training loaders use it on this 1-vCPU host; inference keeps the exact
+    path)."""
     h, w = img.shape[:2]
     r = min(max_size / h, max_size / w)
-    return resize_bilinear_np(img, (int(round(h * r)), int(round(w * r))))
+    out_hw = (int(round(h * r)), int(round(w * r)))
+    if fast and img.dtype == np.uint8:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(img).resize((out_hw[1], out_hw[0]), Image.BILINEAR))
+    return resize_bilinear_np(img, out_hw)
+
+
+def letterbox_fast_np(img: np.ndarray, new_shape) -> Tuple[np.ndarray, Tuple[float, float], Tuple[int, int]]:
+    """Letterbox with PIL resampling (training-loader speed path)."""
+    h, w = img.shape[:2]
+    nh, nw, dw, dh, r = letterbox_shape(h, w, new_shape)
+    if img.dtype == np.uint8:
+        from PIL import Image
+
+        out = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+    else:
+        out = resize_bilinear_np(img, (nh, nw))
+    pad = ((0, dh), (0, dw), (0, 0)) if img.ndim == 3 else ((0, dh), (0, dw))
+    return np.pad(out, pad), (r, r), (dw, dh)
