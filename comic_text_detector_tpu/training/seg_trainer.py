@@ -15,6 +15,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from comic_text_detector_tpu.data.seg_dataset import create_dataloader
@@ -49,12 +50,14 @@ def make_lr_schedule(hyp_train: Dict, nb: int):
     return schedule
 
 
-def train(hyp: Dict, variables=None, max_steps: Optional[int] = None) -> Dict:
+def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None) -> Dict:
     """Run seg training from a hyp dict (reference data/train_hyp.yaml shape).
 
     ``variables`` injects pre-built model variables (e.g. converted backbone
     weights); otherwise the model is randomly initialized.  ``max_steps``
-    bounds total optimizer steps (testing).  Returns summary dict.
+    bounds total optimizer steps (testing).  ``mesh`` enables data-parallel
+    training: state replicated, batches sharded over the ``data`` axis (XLA
+    inserts the gradient all-reduce).  Returns summary dict.
     """
     hyp_train, hyp_data = hyp["train"], hyp["data"]
     hyp_model = hyp.get("model", {})
@@ -116,6 +119,21 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None) -> Dict:
         best_f1 = payload["meta"].get("best_f1", -1.0)
         LOGGER.info(f"resumed from {resume['ckpt']} at epoch {start_epoch}")
 
+    if mesh is not None:
+        from comic_text_detector_tpu.parallel.mesh import replicated_spec, shard_batch_spec
+
+        state = jax.device_put(state, replicated_spec(mesh))
+        n_data = mesh.shape["data"]
+
+        def _put(x):
+            x = np.asarray(x)
+            if x.ndim and x.shape[0] % n_data == 0:
+                return jax.device_put(x, shard_batch_spec(mesh, x.ndim))
+            return jax.device_put(x, replicated_spec(mesh))
+
+    else:
+        _put = jnp.asarray
+
     train_step = make_seg_train_step(model, tx)
     eval_step = make_seg_eval_step(model)
     eval_interval = hyp_train.get("eval_interval", 1)
@@ -127,7 +145,7 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None) -> Dict:
         losses = []  # device scalars; synced once per epoch (remote-TPU
         # round trips per step would dominate wall-clock otherwise)
         for i, (imgs, masks) in enumerate(train_loader):
-            state, metrics = train_step(state, jnp.asarray(imgs), jnp.asarray(masks))
+            state, metrics = train_step(state, _put(imgs), _put(masks))
             losses.append(metrics["loss"])
             total_steps += 1
             if max_steps is not None and total_steps >= max_steps:
@@ -138,7 +156,7 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None) -> Dict:
             tp = gt = pr = 0.0
             e_loss, n_batches = 0.0, 0
             for imgs, masks in val_loader:
-                m = eval_step(state, jnp.asarray(imgs), jnp.asarray(masks))
+                m = eval_step(state, _put(imgs), _put(masks))
                 tp += float(m["tp"])
                 gt += float(m["gt"])
                 pr += float(m["pr"])

@@ -76,3 +76,21 @@ def test_host_sharded_dataset():
     for s in shards:
         seen += [s[i] for i in range(len(s))]
     assert sorted(seen) == data
+
+
+@pytest.mark.slow
+def test_seg_trainer_sharded(tmp_path):
+    from comic_text_detector_tpu.training import seg_trainer
+    from tests.test_training import _make_tiny_dataset
+
+    img_dir = _make_tiny_dataset(tmp_path, n=8)
+    mesh = make_mesh(8)
+    hyp = {
+        "data": {"train_img_dir": img_dir, "val_img_dir": img_dir, "imgsz": 128,
+                 "augment": False, "save_dir": str(tmp_path / "out")},
+        "train": {"epochs": 1, "batch_size": 8, "lr0": 1e-3, "lrf": 0.1,
+                  "optimizer": "adam", "weight_decay": 0.0, "eval_interval": 1,
+                  "accumulation_steps": 1},
+    }
+    out = seg_trainer.train(hyp, max_steps=1, mesh=mesh)
+    assert out["steps"] == 1 and np.isfinite(out["last_loss"])
