@@ -87,7 +87,7 @@ def eval_model(eval_step, state, val_loader, post_process, metric_cls, box_thres
     return metrics["recall"].avg, metrics["precision"].avg, metrics["fmeasure"].avg
 
 
-def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[int] = None) -> Dict:
+def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[int] = None, mesh=None) -> Dict:
     hyp_train, hyp_data = hyp["train"], hyp["data"]
     hyp_model = hyp.get("model", {})
     save_dir = hyp_data.get("save_dir", "data")
@@ -159,6 +159,21 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
         start_epoch = payload["meta"].get("epoch", -1) + 1
         best_f1 = payload["meta"].get("best_f1", -1.0)
 
+    if mesh is not None:
+        from comic_text_detector_tpu.parallel.mesh import replicated_spec, shard_batch_spec
+
+        state = jax.device_put(state, replicated_spec(mesh))
+        n_data = mesh.shape["data"]
+
+        def _put(x):
+            x = np.asarray(x)
+            if x.ndim and x.shape[0] % n_data == 0:
+                return jax.device_put(x, shard_batch_spec(mesh, x.ndim))
+            return jax.device_put(x, replicated_spec(mesh))
+
+    else:
+        _put = jnp.asarray
+
     train_step = make_db_train_step(model, tx, use_bce=use_bce)
     eval_step = make_db_eval_step(model)
     metric_cls = QuadMetric()
@@ -174,7 +189,7 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
             if (i + 2) % 256 == 0:
                 train_dataset.initialize()
             jb = {
-                k: jnp.asarray(v)
+                k: _put(v)
                 for k, v in batch.items()
                 if k in ("imgs", "shrink_map", "shrink_mask", "threshold_map", "threshold_mask")
             }
