@@ -31,6 +31,41 @@ from comic_text_detector_tpu.postproc.textblock import TextBlock, group_output
 from comic_text_detector_tpu.postproc.textmask import refine_mask, refine_undetected_mask
 
 
+def preprocess_img(img: np.ndarray, input_size=(1024, 1024), to_tensor: bool = True):
+    """Host preprocessing mirroring the reference free function
+    (inference.py:72-83): letterbox + /255, returning (img_in, ratio, dw, dh).
+
+    The net consumes BGR (the reference's BGR->RGB->flip round-trip is a
+    net no-op); ``to_tensor`` returns (1,S,S,3) float32 NHWC.
+    """
+    from comic_text_detector_tpu.ops.resize import letterbox_np
+
+    if isinstance(input_size, int):
+        input_size = (input_size, input_size)
+    img_in, ratio, (dw, dh) = letterbox_np(img, input_size)
+    if to_tensor:
+        img_in = img_in[None].astype(np.float32) / 255.0
+    return img_in, ratio, int(dw), int(dh)
+
+
+def postprocess_mask(mask, thresh=None) -> np.ndarray:
+    """Squeeze + optional threshold + *255 uint8 (reference inference.py:85-99)."""
+    m = np.asarray(mask).squeeze()
+    if thresh is not None:
+        m = m > thresh
+    return (m * 255).astype(np.uint8)
+
+
+def postprocess_yolo(rows: np.ndarray, count: int, resize_ratio):
+    """Fixed NMS rows -> (boxes int32, classes, confs) ragged triple
+    (reference inference.py:101-114; operates on this framework's NMS
+    output instead of raw (1,N,7) detections)."""
+    det = np.asarray(rows)[:count].copy()
+    det[:, [0, 2]] *= resize_ratio[0]
+    det[:, [1, 3]] *= resize_ratio[1]
+    return det[:, 0:4].astype(np.int32), det[:, 5].astype(np.int32), np.round(det[:, 4], 3)
+
+
 class TextDetector:
     """Comic/manga page text detector.
 
@@ -183,15 +218,7 @@ class TextDetector:
         return mask, mask_refined, blk_list
 
     def _postprocess_yolo(self, rows: np.ndarray, count: int, resize_ratio):
-        """(max_det,6) fixed rows -> (boxes int32, classes, confs) ragged
-        (reference postprocess_yolo, inference.py:101-114)."""
-        det = rows[:count].copy()
-        det[:, [0, 2]] *= resize_ratio[0]
-        det[:, [1, 3]] *= resize_ratio[1]
-        blines = det[:, 0:4].astype(np.int32)
-        confs = np.round(det[:, 4], 3)
-        cls = det[:, 5].astype(np.int32)
-        return blines, cls, confs
+        return postprocess_yolo(rows, count, resize_ratio)
 
     # --- persistence (native format) ---
 
