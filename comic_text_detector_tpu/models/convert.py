@@ -190,6 +190,64 @@ def _unwrap(sd: Mapping[str, Any]) -> Mapping[str, Any]:
     return sd["weights"] if isinstance(sd, Mapping) and "weights" in sd else sd
 
 
+_FOLD_PAIRS = (("conv", "bn"), ("up", "bn"), ("seq0", "seq1"), ("seq3", "seq4"))
+
+
+def fold_batchnorm(variables: Mapping[str, Any], yolo_roots=("blk_det", "backbone")) -> Dict:
+    """Fold eval-mode BatchNorms into their preceding conv kernels/biases
+    (the reference's fuse_conv_and_bn at load, utils/yolov5_utils.py:23-43 /
+    TextDetBase.fuse, basemodel.py:229-237) — a pure pytree transform; the
+    module structure is unchanged (BNs become exact identities).
+
+    ``yolo_roots`` name the subtrees whose BNs use eps=1e-3 (the yolo graph,
+    initialize_weights); everything else uses torch's default 1e-5.
+    """
+    import copy as _copy
+
+    params = _copy.deepcopy(_to_plain(variables["params"]))
+    stats = _copy.deepcopy(_to_plain(variables["batch_stats"]))
+
+    def walk(p_node: Dict, s_node: Dict, eps: float) -> None:
+        for conv_key, bn_key in _FOLD_PAIRS:
+            if (
+                isinstance(p_node.get(conv_key), dict)
+                and "kernel" in p_node.get(conv_key, {})
+                and isinstance(p_node.get(bn_key), dict)
+                and "scale" in p_node.get(bn_key, {})
+                and isinstance(s_node.get(bn_key), dict)
+            ):
+                conv = p_node[conv_key]
+                bn = p_node[bn_key]
+                st = s_node[bn_key]
+                inv = np.asarray(bn["scale"]) / np.sqrt(np.asarray(st["var"]) + eps)
+                # scale the kernel; the additive term rides the (now
+                # identity-scale) BN bias — convs in this package have no
+                # bias slot by construction
+                conv["kernel"] = np.asarray(conv["kernel"]) * inv  # O last
+                bias = np.asarray(bn["bias"]) - np.asarray(st["mean"]) * inv
+                if "bias" in conv:
+                    bias = bias + np.asarray(conv["bias"]) * inv
+                    conv["bias"] = np.zeros_like(np.asarray(conv["bias"]), np.float32)
+                bn["scale"] = np.ones_like(inv, np.float32)
+                bn["bias"] = bias.astype(np.float32)
+                st["mean"] = np.zeros_like(inv, np.float32)
+                st["var"] = np.full_like(inv, 1.0 - eps, np.float32)
+        for k, v in p_node.items():
+            if isinstance(v, dict):
+                walk(v, s_node.get(k, {}), eps)
+
+    for root, p_sub in params.items():
+        eps = 1e-3 if root in yolo_roots else 1e-5
+        walk(p_sub, stats.get(root, {}), eps)
+    return {"params": params, "batch_stats": stats}
+
+
+def _to_plain(tree) -> Dict:
+    if isinstance(tree, Mapping):
+        return {k: _to_plain(v) for k, v in tree.items()}
+    return tree
+
+
 def load_torch_file(path: str) -> Any:
     import torch
 
