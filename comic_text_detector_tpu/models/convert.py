@@ -257,3 +257,17 @@ def load_torch_file(path: str) -> Any:
 def load_textdet_base_variables(path: str) -> Tuple[Dict, dict]:
     """Load a reference-format combined .pt and return TextDetBase variables."""
     return convert_combined_checkpoint(load_torch_file(path))
+
+
+def load_from_parts(blk_path: str, seg_path: str, det_path: str) -> Tuple[Dict, dict]:
+    """Build TextDetBase variables from the reference's three separate
+    training checkpoints (yolov5 blk ckpt + unet_best.ckpt + db_best.ckpt) —
+    the torch-side merge the reference does in concate_models
+    (utils/export.py:23-28), done at conversion time instead.
+    """
+    ckpt = {
+        "blk_det": load_torch_file(blk_path),
+        "text_seg": load_torch_file(seg_path),
+        "text_det": load_torch_file(det_path),
+    }
+    return convert_combined_checkpoint(ckpt)

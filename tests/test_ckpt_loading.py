@@ -48,3 +48,30 @@ def test_parse_graph_flips_descending_anchors():
     spec = parse_graph(cfg)
     areas = [sum(a[i] * a[i + 1] for i in range(0, len(a), 2)) for a in spec.anchors]
     assert areas == sorted(areas), "anchors must ascend with stride order"
+
+
+def test_load_from_parts(tmp_path):
+    """Migration path: the reference's three separate training ckpts
+    (blk ckpt + unet_best + db_best with {'weights': ...} wrappers)."""
+    import torch
+
+    from comic_text_detector_tpu.models.convert import load_from_parts
+    from comic_text_detector_tpu.models.detector import build_inference_model
+
+    oracles.load_reference()
+    blk = oracles.build_torch_yolo(YOLOV5S_CFG, seed=4, fuse=False)
+    seg = oracles.build_torch_unet(act="leaky", seed=5)
+    det = oracles.build_torch_dbhead(act="leaky", seed=6)
+    p_blk = str(tmp_path / "yolov5sblk.ckpt")
+    p_seg = str(tmp_path / "unet_best.ckpt")
+    p_det = str(tmp_path / "db_best.ckpt")
+    torch.save({"cfg": oracles.torch_cfg(YOLOV5S_CFG), "weights": blk.state_dict()}, p_blk)
+    torch.save({"weights": seg.state_dict(), "epoch": 3}, p_seg)
+    torch.save({"weights": det.state_dict(), "epoch": 7}, p_det)
+
+    variables, cfg = load_from_parts(p_blk, p_seg, p_det)
+    model = build_inference_model(cfg, act="leaky")
+    import jax.numpy as jnp
+
+    out = model.apply(variables, jnp.zeros((1, 128, 128, 3), jnp.float32))
+    assert len(out) == 3 and out[1].shape == (1, 128, 128, 1)
