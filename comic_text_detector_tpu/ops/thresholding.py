@@ -66,4 +66,4 @@ def bgr2gray(img: jax.Array) -> jax.Array:
 def xor_sum(a: jax.Array, b: jax.Array) -> jax.Array:
     """Byte-level XOR sum — the refine-mask greedy objective
     (reference utils/textmask.py:36-37) as a device reduction."""
-    return jnp.sum(jnp.bitwise_xor(a, b).astype(jnp.int64))
+    return jnp.sum(jnp.bitwise_xor(a, b).astype(jnp.int32))
