@@ -206,16 +206,18 @@ class BatchTextDetector:
                 q.put(stop)
 
         threading.Thread(target=producer, daemon=True).start()
-        in_flight = None
+        from collections import deque
+
+        in_flight: deque = deque()
+        depth = max(1, prefetch)
         while True:
             chunk = q.get()
             if chunk is stop:
                 break
-            ticket = self.submit(chunk)
-            if in_flight is not None:
-                yield from self.collect(in_flight, refine_mode, keep_undetected_mask)
-            in_flight = ticket
-        if in_flight is not None:
-            yield from self.collect(in_flight, refine_mode, keep_undetected_mask)
+            in_flight.append(self.submit(chunk))
+            if len(in_flight) > depth:
+                yield from self.collect(in_flight.popleft(), refine_mode, keep_undetected_mask)
+        while in_flight:
+            yield from self.collect(in_flight.popleft(), refine_mode, keep_undetected_mask)
         if error:
             raise error[0]
