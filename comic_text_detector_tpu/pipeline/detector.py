@@ -119,6 +119,15 @@ class TextDetector:
             self._exported = load_exported(model_path)
             self.variables = {}
             model_cfg = cfg or YOLOV5S_CFG
+        elif model_path is not None and str(model_path).endswith(".onnx"):
+            # the reference's shipped deploy artifact (TextDetBaseDNN,
+            # basemodel.py:246-256) — weights ingested into the same jitted
+            # graph, so its output-order workaround (inference.py:151-155)
+            # cannot arise
+            from comic_text_detector_tpu.models.onnx_ingest import convert_onnx_checkpoint
+
+            self.variables, _ = convert_onnx_checkpoint(model_path)
+            model_cfg = cfg or YOLOV5S_CFG
         elif model_path is not None:
             self.variables, ckpt_cfg = load_textdet_base_variables(model_path)
             model_cfg = cfg or ckpt_cfg or YOLOV5S_CFG
