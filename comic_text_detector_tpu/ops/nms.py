@@ -61,7 +61,7 @@ def _greedy_keep(iou: jax.Array, valid: jax.Array, iou_thresh: float) -> jax.Arr
     return keep
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def nms_single(
     pred: jax.Array,
     conf_thresh: float | jax.Array,
@@ -69,33 +69,50 @@ def nms_single(
     max_det: int = MAX_DET,
     max_nms: int = MAX_NMS_CANDIDATES,
     class_agnostic: bool = False,
+    multi_label: bool = False,
+    classes: Tuple[int, ...] | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """NMS over one image's raw detections.
 
     Args:
       pred: (N, 5+nc) rows [cx, cy, w, h, obj, cls...] (Detect decode output).
+      class_agnostic: suppress across classes (reference ``agnostic``).
+      multi_label: one candidate per (box, class) over threshold instead of
+        best-class-only (reference ``multi_label``; no-op for nc == 1).
+      classes: static tuple of class ids to keep (reference ``classes``).
     Returns:
       out: (max_det, 6) rows [x1, y1, x2, y2, conf, cls], zero-padded.
       count: number of valid rows.
 
     Semantics match the reference non_max_suppression
     (utils/yolov5_utils.py:124-218): obj>thresh candidate filter, conf =
-    obj*cls_conf with a second conf>thresh filter, best-class only,
-    class-offset (4096 px) batched NMS.
+    obj*cls_conf with a second conf>thresh filter, class-offset (4096 px)
+    batched NMS.  The reference's 10 s wall-clock guard has no analog — this
+    formulation is fixed-shape, so its runtime is workload-independent.
     """
     max_wh = 4096.0
-    nc = pred.shape[-1] - 5
+    n, nc = pred.shape[0], pred.shape[-1] - 5
     obj = pred[:, 4]
-    cls_conf = jnp.max(pred[:, 5:], axis=-1)
-    cls = jnp.argmax(pred[:, 5:], axis=-1).astype(jnp.float32)
-    conf = obj * cls_conf
-    valid = (obj > conf_thresh) & (conf > conf_thresh)
+    if multi_label and nc > 1:
+        # every (box, class) pair over threshold is its own candidate
+        conf = (obj[:, None] * pred[:, 5:]).reshape(-1)
+        cls = jnp.tile(jnp.arange(nc, dtype=jnp.float32), n)
+        box_idx = jnp.repeat(jnp.arange(n), nc)
+        valid = (jnp.repeat(obj, nc) > conf_thresh) & (conf > conf_thresh)
+    else:
+        conf = obj * jnp.max(pred[:, 5:], axis=-1)
+        cls = jnp.argmax(pred[:, 5:], axis=-1).astype(jnp.float32)
+        box_idx = jnp.arange(n)
+        valid = (obj > conf_thresh) & (conf > conf_thresh)
+    if classes is not None:
+        allowed = jnp.asarray(classes, jnp.float32)
+        valid &= jnp.any(cls[:, None] == allowed[None, :], axis=-1)
     scores = jnp.where(valid, conf, -1.0)
 
-    k = min(max_nms, pred.shape[0])
+    k = min(max_nms, scores.shape[0])
     top_scores, idx = jax.lax.top_k(scores, k)
     top_valid = top_scores > 0
-    boxes = xywh2xyxy(pred[idx, :4])
+    boxes = xywh2xyxy(pred[box_idx[idx], :4])
     ccls = cls[idx]
     off = jnp.where(class_agnostic, 0.0, ccls * max_wh)
     iou = box_iou_matrix(boxes + off[:, None], boxes + off[:, None])

@@ -113,3 +113,65 @@ def test_nms_batch_shapes():
     rows, counts = tnms.nms_batch(jnp.asarray(pred), 0.4, 0.35)
     assert rows.shape == (2, 300, 6) and counts.shape == (2,)
     assert int(counts.sum()) == 0
+
+
+def _rand_pred(seed, n=300, nc=2):
+    rng = np.random.default_rng(seed)
+    pred = np.zeros((n, 5 + nc), np.float32)
+    pred[:, 0] = rng.uniform(50, 950, n)
+    pred[:, 1] = rng.uniform(50, 950, n)
+    pred[:, 2] = rng.uniform(20, 200, n)
+    pred[:, 3] = rng.uniform(20, 200, n)
+    pred[:, 4] = rng.random(n)
+    pred[:, 5:] = rng.random((n, nc))
+    return pred
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize(
+    "opts",
+    [
+        {"agnostic": True},
+        {"multi_label": True},
+        {"classes": (1,)},
+        {"multi_label": True, "classes": (0,)},
+    ],
+    ids=lambda o: "-".join(f"{k}={v}" for k, v in o.items()),
+)
+def test_nms_options_match_reference(seed, opts):
+    """agnostic / multi_label / classes option surface vs the executed
+    reference non_max_suppression (utils/yolov5_utils.py:124-218)."""
+    from tests import oracles
+
+    oracles.load_reference()
+    import utils.yolov5_utils as ryu  # type: ignore
+
+    pred = _rand_pred(seed)
+    conf_t, iou_t = 0.3, 0.35
+    ref = ryu.non_max_suppression(
+        pred[None].copy(),
+        conf_thres=conf_t,
+        iou_thres=iou_t,
+        classes=list(opts["classes"]) if "classes" in opts else None,
+        agnostic=opts.get("agnostic", False),
+        multi_label=opts.get("multi_label", False),
+    )[0].numpy()
+
+    rows, count = tnms.nms_single(
+        jnp.asarray(pred),
+        conf_t,
+        iou_t,
+        class_agnostic=opts.get("agnostic", False),
+        multi_label=opts.get("multi_label", False),
+        classes=opts.get("classes"),
+    )
+    rows, count = np.asarray(rows), int(count)
+    assert count == len(ref)
+    order = np.lexsort((ref[:, 0], -ref[:, 4]))  # reference rows: sort conf desc
+    got_order = np.lexsort((rows[:count, 0], -rows[:count, 4]))
+    np.testing.assert_allclose(
+        rows[:count][got_order, :5], ref[order, :5], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        rows[:count][got_order, 5].astype(int), ref[order, 5].astype(int)
+    )
