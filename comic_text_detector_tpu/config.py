@@ -92,7 +92,14 @@ class GraphSpec:
     ch_in: int = 3
 
 
-_CH_MODULES = {"Conv", "C3", "SPPF", "SPP", "Bottleneck", "Focus", "DWConv", "GhostConv"}
+_CH_MODULES = {
+    "Conv", "C3", "SPPF", "SPP", "Bottleneck", "Focus", "DWConv", "GhostConv",
+    "GhostBottleneck", "BottleneckCSP", "C3TR", "C3SPP", "C3Ghost",
+}
+# modules whose yaml repeat count becomes an inner-stage count
+# (reference parse_model, models/yolov5/yolo.py:231-233; C3SPP is absent
+# there too — its repeats stay module-level)
+_N_AS_ARG = {"C3", "C3TR", "C3Ghost", "BottleneckCSP"}
 
 
 def parse_graph(cfg: dict, max_layer: int | None = None) -> GraphSpec:
@@ -137,7 +144,7 @@ def parse_graph(cfg: dict, max_layer: int | None = None) -> GraphSpec:
             if c2 != no:
                 c2 = make_divisible(c2 * gw, 8)
             args = [c1, c2, *args[1:]]
-            if mod == "C3":
+            if mod in _N_AS_ARG:
                 args.insert(2, n_)
                 n_ = 1
             c_in: Union[int, Tuple[int, ...]] = c1
@@ -151,6 +158,16 @@ def parse_graph(cfg: dict, max_layer: int | None = None) -> GraphSpec:
         elif mod == "Upsample":
             c2 = ch[frm]
             c_in = c2
+        elif mod == "Contract":
+            gain = args[0] if args else 2
+            c2 = ch[frm] * gain ** 2
+            c_in = ch[frm]
+            args = [gain]
+        elif mod == "Expand":
+            gain = args[0] if args else 2
+            c2 = ch[frm] // gain ** 2
+            c_in = ch[frm]
+            args = [gain]
         elif mod == "BatchNorm2d":
             c2 = ch[frm]
             c_in = c2

@@ -247,3 +247,298 @@ class Focus(nn.Module):
         return ConvBnAct(self.c2, self.k, self.s, self.p, self.g, act=self.act, dtype=self.dtype, name="conv")(
             jnp.concatenate(parts, axis=-1), train
         )
+
+
+# ---------------------------------------------------------------------------
+# Block variants (reference common.py:58-266).  Unused by the deployed
+# comictextdetector config, but parse_model can build them from any
+# checkpoint-embedded yaml, so arbitrary yolov5 ckpts load here too.
+# Param naming matches torch module paths through models/convert.py.
+# ---------------------------------------------------------------------------
+
+
+class TorchLinear(nn.Module):
+    """Linear layer with torch's (out, in) kernel layout so checkpoint
+    matrices convert verbatim."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (self.features, x.shape[-1]),
+            jnp.float32,
+        )
+        y = x.astype(self.dtype) @ kernel.T.astype(self.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32).astype(
+                self.dtype
+            )
+        return y
+
+
+class TorchMultiheadAttention(nn.Module):
+    """torch nn.MultiheadAttention with packed in_proj (batch-first inputs).
+
+    Parameters mirror torch's state dict: ``in_proj_weight`` (3C, C),
+    ``in_proj_bias`` (3C,), ``out_proj``.{kernel, bias}.
+    """
+
+    embed: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+        c, h = self.embed, self.num_heads
+        d = c // h
+        w = self.param(
+            "in_proj_weight",
+            nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+            (3 * c, c),
+            jnp.float32,
+        ).astype(self.dtype)
+        b = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32).astype(self.dtype)
+
+        def proj(x, i):
+            return x.astype(self.dtype) @ w[i * c:(i + 1) * c].T + b[i * c:(i + 1) * c]
+
+        def heads(x):  # (B, L, C) -> (B, h, L, d)
+            bsz, length, _ = x.shape
+            return x.reshape(bsz, length, h, d).transpose(0, 2, 1, 3)
+
+        qh = heads(proj(q, 0)) * (d ** -0.5)
+        kh, vh = heads(proj(k, 1)), heads(proj(v, 2))
+        attn = jax.nn.softmax((qh @ kh.transpose(0, 1, 3, 2)).astype(jnp.float32), axis=-1)
+        out = (attn.astype(self.dtype) @ vh).transpose(0, 2, 1, 3)
+        out = out.reshape(out.shape[0], out.shape[1], c)
+        return TorchLinear(c, dtype=self.dtype, name="out_proj")(out)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-projection attention + 2-layer MLP, both residual, no LayerNorm
+    (reference common.py:58-73).  Operates on (B, L, C)."""
+
+    c: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        q = TorchLinear(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = TorchLinear(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = TorchLinear(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
+        x = TorchMultiheadAttention(self.c, self.num_heads, dtype=self.dtype, name="ma")(q, k, v) + x
+        y = TorchLinear(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        return TorchLinear(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y) + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT-style block over flattened spatial positions with a learned
+    position embedding (reference common.py:75-91)."""
+
+    c2: int
+    num_heads: int
+    num_layers: int
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if x.shape[-1] != self.c2:
+            x = ConvBnAct(self.c2, 1, 1, act=self.act, dtype=self.dtype, name="conv")(x, train)
+        bsz, hh, ww, c = x.shape
+        p = x.reshape(bsz, hh * ww, c)  # row-major == torch flatten(2) order
+        p = p + TorchLinear(c, dtype=self.dtype, name="linear")(p)
+        for i in range(self.num_layers):
+            p = TransformerLayer(c, self.num_heads, dtype=self.dtype, name=f"tr_{i}")(p)
+        return p.reshape(bsz, hh, ww, c)
+
+
+class GhostConv(nn.Module):
+    """Primary conv + cheap depthwise expansion (reference common.py:212)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = self.c2 // 2
+        y = ConvBnAct(c_, self.k, self.s, g=self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        y2 = ConvBnAct(c_, 5, 1, g=c_, act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class _GhostMain(nn.Module):
+    """GhostBottleneck main path: pw GhostConv, optional dw stride conv,
+    linear pw GhostConv (torch Sequential -> seq0/seq1/seq2 names)."""
+
+    c2: int
+    k: int
+    s: int
+    act: str
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, act=self.act, dtype=self.dtype, name="seq0")(x, train)
+        if self.s == 2:
+            y = ConvBnAct(c_, self.k, self.s, g=c_, act="identity", dtype=self.dtype, name="seq1")(y, train)
+        return GhostConv(self.c2, 1, 1, act="identity", dtype=self.dtype, name="seq2")(y, train)
+
+
+class _GhostShortcut(nn.Module):
+    """GhostBottleneck stride-2 shortcut: dw conv + pw conv, linear."""
+
+    c2: int
+    k: int
+    s: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c1 = x.shape[-1]
+        y = ConvBnAct(c1, self.k, self.s, g=c1, act="identity", dtype=self.dtype, name="seq0")(x, train)
+        return ConvBnAct(self.c2, 1, 1, act="identity", dtype=self.dtype, name="seq1")(y, train)
+
+
+class GhostBottleneck(nn.Module):
+    """GhostNet bottleneck (reference common.py:224)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = _GhostMain(self.c2, self.k, self.s, self.act, dtype=self.dtype, name="conv")(x, train)
+        if self.s == 2:
+            return y + _GhostShortcut(self.c2, self.k, self.s, dtype=self.dtype, name="shortcut")(x, train)
+        return y + x  # identity shortcut (torch requires c1 == c2 here too)
+
+
+class BottleneckCSP(nn.Module):
+    """CSP bottleneck, v4-style: bare-conv split branches re-joined through a
+    standalone BN + SiLU (reference common.py:109-124; the join activation is
+    hardcoded SiLU there regardless of the graph act)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, act=self.act, dtype=self.dtype, name=f"m_{i}")(
+                y1, train
+            )
+        y1 = Conv2d(c_, 1, 1, use_bias=False, dtype=self.dtype, name="cv3")(y1)
+        y2 = Conv2d(c_, 1, 1, use_bias=False, dtype=self.dtype, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = BatchNorm(eps=1e-3, momentum=0.03, dtype=self.dtype, name="bn")(y, train)
+        y = tnn.silu(y)
+        return ConvBnAct(self.c2, 1, 1, act=self.act, dtype=self.dtype, name="cv4")(y, train)
+
+
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock inner stage (reference common.py:141)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        y1 = TransformerBlock(c_, 4, self.n, act=self.act, dtype=self.dtype, name="m")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.c2, 1, 1, act=self.act, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class C3SPP(nn.Module):
+    """C3 with an SPP inner stage (reference common.py:148)."""
+
+    c2: int
+    ks: tuple = (5, 9, 13)
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        y1 = SPP(c_, ks=self.ks, act=self.act, dtype=self.dtype, name="m")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.c2, 1, 1, act=self.act, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck inner stages (reference common.py:156)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = GhostBottleneck(c_, act=self.act, dtype=self.dtype, name=f"m_{i}")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, act=self.act, dtype=self.dtype, name="cv2")(x, train)
+        return ConvBnAct(self.c2, 1, 1, act=self.act, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+def contract(x: jax.Array, gain: int = 2) -> jax.Array:
+    """Fold space into channels, matching torch Contract's channel order
+    (reference common.py:235-245): c' = (s1 * gain + s2) * C + c."""
+    b, h, w, c = x.shape
+    s = gain
+    y = x.reshape(b, h // s, s, w // s, s, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, h // s, w // s, s * s * c)
+
+
+def expand(x: jax.Array, gain: int = 2) -> jax.Array:
+    """Unfold channels into space, inverse channel order of torch Expand
+    (reference common.py:248-258)."""
+    b, h, w, c = x.shape
+    s = gain
+    y = x.reshape(b, h, w, s, s, c // (s * s))
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, h * s, w * s, c // (s * s))

@@ -98,9 +98,12 @@ def _translate_tokens(tokens: Iterable[str]) -> Tuple[str, ...]:
             out.append(t)
             out.append("c3")
             i += 2
-        elif t in ("conv", "binarize", "thresh") and nxt is not None and nxt.isdigit():
+        elif t in ("conv", "binarize", "thresh", "shortcut") and nxt is not None and nxt.isdigit():
             out.append(t)
             out.append(f"seq{nxt}")
+            i += 2
+        elif t == "tr" and nxt is not None and nxt.isdigit():
+            out.append(f"tr_{nxt}")  # TransformerBlock stack
             i += 2
         else:
             out.append(t)
@@ -160,6 +163,9 @@ def convert_state_dict(sd: Mapping[str, Any], fused_bn_eps: float = 1e-3) -> Dic
                 _set(params, path + ("kernel",), arr)
         elif leaf == "bias":
             _set(params, path + ("bias",), arr)
+        elif leaf in ("in_proj_weight", "in_proj_bias"):
+            # torch nn.MultiheadAttention packed projection (TransformerLayer)
+            _set(params, path + (leaf,), arr)
         else:
             raise ValueError(f"unhandled torch key: {key}")
     return {"params": params, "batch_stats": stats}

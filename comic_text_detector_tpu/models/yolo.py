@@ -98,7 +98,35 @@ def _build_layer(spec, act: str, dtype) -> Optional[nn.Module]:
         return blocks.Focus(a[1], k, act=act, dtype=dtype, name=name)
     if m == "Bottleneck":
         return blocks.Bottleneck(a[1], act=act, dtype=dtype, name=name)
-    if m in ("Upsample", "Concat"):
+    if m == "DWConv":
+        # depthwise-ish conv: groups = gcd(c1, c2) (reference common.py:52)
+        k = a[2] if len(a) > 2 else 1
+        s = a[3] if len(a) > 3 else 1
+        return blocks.ConvBnAct(a[1], k, s, g=math.gcd(a[0], a[1]), act=act, dtype=dtype, name=name)
+    if m == "GhostConv":
+        k = a[2] if len(a) > 2 else 1
+        s = a[3] if len(a) > 3 else 1
+        g = a[4] if len(a) > 4 else 1
+        return blocks.GhostConv(a[1], k, s, g=g, act=act, dtype=dtype, name=name)
+    if m == "GhostBottleneck":
+        k = a[2] if len(a) > 2 else 3
+        s = a[3] if len(a) > 3 else 1
+        return blocks.GhostBottleneck(a[1], k, s, act=act, dtype=dtype, name=name)
+    if m == "BottleneckCSP":
+        shortcut = a[3] if len(a) > 3 else True
+        return blocks.BottleneckCSP(a[1], n=a[2], shortcut=shortcut, act=act, dtype=dtype, name=name)
+    if m == "C3TR":
+        shortcut = a[3] if len(a) > 3 else True
+        return blocks.C3TR(a[1], n=a[2], shortcut=shortcut, act=act, dtype=dtype, name=name)
+    if m == "C3Ghost":
+        shortcut = a[3] if len(a) > 3 else True
+        return blocks.C3Ghost(a[1], n=a[2], shortcut=shortcut, act=act, dtype=dtype, name=name)
+    if m == "C3SPP":
+        ks = tuple(a[2]) if len(a) > 2 else (5, 9, 13)
+        return blocks.C3SPP(a[1], ks=ks, act=act, dtype=dtype, name=name)
+    if m == "BatchNorm2d":
+        return blocks.BatchNorm(eps=1e-3, momentum=0.03, dtype=dtype, name=name)
+    if m in ("Upsample", "Concat", "Contract", "Expand"):
         return None
     raise ValueError(f"unsupported module {m}")
 
@@ -164,6 +192,10 @@ class YoloGraph(nn.Module):
                 y = jnp.concatenate(inp, axis=-1)
             elif ls.module == "Upsample":
                 y = tnn.upsample_nearest2x(inp)
+            elif ls.module == "Contract":
+                y = blocks.contract(inp, ls.args[0] if ls.args else 2)
+            elif ls.module == "Expand":
+                y = blocks.expand(inp, ls.args[0] if ls.args else 2)
             elif ls.module == "Detect":
                 dets, raw = self._mods[ls.index](inp, decode=decode)
                 y = dets if dets is not None else raw
