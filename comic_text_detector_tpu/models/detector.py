@@ -58,21 +58,28 @@ class TextDetTrain(nn.Module):
       * TEXTDET_MASK — returns the full-res mask (UNet training).
       * TEXTDET_DET  — backbone + UNet trunk frozen, returns DBHead maps.
 
-    The backbone always runs in eval mode behind ``stop_gradient``
+    By default the backbone runs in eval mode behind ``stop_gradient``
     (reference basemodel.py:200-209 wraps it in no_grad and .eval()).
+    ``freeze_backbone=False`` lets gradients flow into the backbone for
+    from-scratch training — the reference always starts from a pretrained
+    yolov5, an option unavailable when bootstrapping purely on synthetic
+    data.  Backbone BN stays in eval mode either way (stable with small
+    batches; running stats keep their initialized values).
     """
 
     spec: GraphSpec  # backbone-only spec (config.backbone_spec())
     act: str = "leaky"
     dtype: Dtype = jnp.float32
     with_db: bool = False
+    freeze_backbone: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, forward_mode: int = TEXTDET_MASK, train: bool = False):
         z = YoloGraph(
             spec=self.spec, out_indices=OUT_INDICES, act="silu", dtype=self.dtype, name="backbone"
         )(x.astype(self.dtype), train=False)
-        z = [jax.lax.stop_gradient(f) for f in z]
+        if self.freeze_backbone:
+            z = [jax.lax.stop_gradient(f) for f in z]
         if forward_mode == TEXTDET_MASK:
             return UnetHead(act=self.act, dtype=self.dtype, name="seg_net")(
                 *z, forward_mode=TEXTDET_MASK, train=train
@@ -92,9 +99,15 @@ def build_inference_model(
 
 
 def build_train_model(
-    cfg: Optional[dict] = None, act: str = "leaky", dtype: Dtype = jnp.float32, with_db: bool = False
+    cfg: Optional[dict] = None,
+    act: str = "leaky",
+    dtype: Dtype = jnp.float32,
+    with_db: bool = False,
+    freeze_backbone: bool = True,
 ) -> TextDetTrain:
-    return TextDetTrain(spec=backbone_spec(cfg), act=act, dtype=dtype, with_db=with_db)
+    return TextDetTrain(
+        spec=backbone_spec(cfg), act=act, dtype=dtype, with_db=with_db, freeze_backbone=freeze_backbone
+    )
 
 
 def init_variables(model: nn.Module, rng: jax.Array, input_size: int = 640, batch: int = 1, **kwargs):
@@ -102,26 +115,31 @@ def init_variables(model: nn.Module, rng: jax.Array, input_size: int = 640, batc
     return model.init(rng, x, **kwargs)
 
 
-def damp_output_biases(variables: dict, value: float = -8.0) -> dict:
+def damp_output_biases(variables: dict, value: float = -8.0, parts=("detect", "db")) -> dict:
     """Shift detection/DB output biases so a randomly initialized net emits
     (near-)empty predictions — random conv weights otherwise threshold into
     page-sized noise blobs, which is not a workload any trained detector
     produces.  Used by benchmarks/tests that need realistic output sparsity
-    without trained weights."""
+    without trained weights.  ``parts`` selects which outputs to damp
+    ('detect' = YOLO objectness, 'db' = DB towers) — e.g. a checkpoint with
+    trained seg/DB heads but an untrained block detector damps only 'detect'.
+    """
     variables = jax.tree_util.tree_map(lambda x: x, variables)
     params = variables["params"]
-    det = params.get("blk_det", {})
-    for name, sub in det.items():
-        if name.startswith("model_") and any(k.startswith("m_") for k in sub):
-            for mk, conv in sub.items():
-                if mk.startswith("m_") and "bias" in conv:
-                    b = jnp.asarray(conv["bias"])
-                    na = 3
-                    no = b.shape[0] // na
-                    b = b.reshape(na, no).at[:, 4].set(value).reshape(-1)
-                    conv["bias"] = b
-    db = params.get("text_det", {})
-    for tower in ("binarize", "thresh"):
-        if tower in db and "seq6" in db[tower] and "bias" in db[tower]["seq6"]:
-            db[tower]["seq6"]["bias"] = jnp.full_like(jnp.asarray(db[tower]["seq6"]["bias"]), value)
+    if "detect" in parts:
+        det = params.get("blk_det", {})
+        for name, sub in det.items():
+            if name.startswith("model_") and any(k.startswith("m_") for k in sub):
+                for mk, conv in sub.items():
+                    if mk.startswith("m_") and "bias" in conv:
+                        b = jnp.asarray(conv["bias"])
+                        na = 3
+                        no = b.shape[0] // na
+                        b = b.reshape(na, no).at[:, 4].set(value).reshape(-1)
+                        conv["bias"] = b
+    if "db" in parts:
+        db = params.get("text_det", {})
+        for tower in ("binarize", "thresh"):
+            if tower in db and "seq6" in db[tower] and "bias" in db[tower]["seq6"]:
+                db[tower]["seq6"]["bias"] = jnp.full_like(jnp.asarray(db[tower]["seq6"]["bias"]), value)
     return variables

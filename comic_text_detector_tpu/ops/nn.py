@@ -94,7 +94,9 @@ def torch_conv_kernel_to_hwio(w) -> jnp.ndarray:
 
 def max_pool2d(x: jax.Array, k: int, stride: int = 1, padding: int = 0) -> jax.Array:
     """torch.nn.MaxPool2d(k, stride, padding) on NHWC."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so JAX lowers to the differentiable
+    # reduce_window_max primitive — needed when the backbone trains
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,
@@ -107,9 +109,10 @@ def max_pool2d(x: jax.Array, k: int, stride: int = 1, padding: int = 0) -> jax.A
 
 def avg_pool2d(x: jax.Array, k: int, stride: int) -> jax.Array:
     """torch.nn.AvgPool2d(k, stride) on NHWC (no padding)."""
+    # literal 0 init so JAX lowers to the differentiable reduce_window_sum
     y = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0,
         lax.add,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, stride, stride, 1),

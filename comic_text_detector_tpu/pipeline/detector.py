@@ -119,6 +119,12 @@ class TextDetector:
             self._exported = load_exported(model_path)
             self.variables = {}
             model_cfg = cfg or YOLOV5S_CFG
+        elif model_path is not None and str(model_path).endswith(".npz"):
+            # framework-native compact deploy checkpoint (float16 npz)
+            from comic_text_detector_tpu.training.checkpoint import load_compact
+
+            self.variables = load_compact(model_path)
+            model_cfg = cfg or YOLOV5S_CFG
         elif model_path is not None and str(model_path).endswith(".onnx"):
             # the reference's shipped deploy artifact (TextDetBaseDNN,
             # basemodel.py:246-256) — weights ingested into the same jitted

@@ -41,3 +41,45 @@ def _jsonable(obj):
         if isinstance(obj, dict):
             return {k: _jsonable(v) for k, v in obj.items()}
         return str(obj)
+
+
+# --- compact deploy checkpoints -------------------------------------------------
+#
+# Template-free npz format for shipping inference weights in-repo: nested
+# variable dicts flatten to '/'-joined keys, stored float16 (inference is
+# bf16 anyway, so fp16 storage rounding is below compute noise).
+
+
+def save_compact(path: str, variables: Any, dtype="float16") -> None:
+    import numpy as np
+
+    flat: Dict[str, Any] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            arr = np.asarray(jax.device_get(node))
+            flat[prefix] = arr.astype(dtype) if arr.dtype.kind == "f" else arr
+
+    walk(variables, "")
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **flat)
+
+
+def load_compact(path: str) -> Dict:
+    import numpy as np
+
+    out: Dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            arr = data[key]
+            if arr.dtype.kind == "f":
+                arr = arr.astype(np.float32)
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = arr
+    return out

@@ -66,7 +66,10 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
     epochs = hyp_train["epochs"]
     batch_size = hyp_train["batch_size"]
 
-    model = build_train_model(act=hyp_model.get("act", "leaky"))
+    train_backbone = bool(hyp_train.get("train_backbone", False))
+    model = build_train_model(
+        act=hyp_model.get("act", "leaky"), freeze_backbone=not train_backbone
+    )
     imgsz = hyp_data["imgsz"]
     if variables is None:
         variables = model.init(
@@ -106,7 +109,7 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
     if acc > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=acc)
 
-    state = create_seg_train_state(variables, tx)
+    state = create_seg_train_state(variables, tx, train_backbone=train_backbone)
     start_epoch = 0
     best_f1 = -1.0
     logger = Loggers(hyp) if hyp.get("logger", {}).get("type") else None

@@ -22,35 +22,36 @@ from comic_text_detector_tpu.training import losses
 
 @flax.struct.dataclass
 class TrainState:
-    params: Any  # trainable subtree (seg_net or dbnet)
+    params: Any  # dict of trainable top-level subtrees ({'seg_net': ...}, ...)
     frozen: Any  # non-trainable params subtrees
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
 
 
-def create_seg_train_state(variables: Dict, tx: optax.GradientTransformation) -> TrainState:
+def _split_state(variables: Dict, tx, trainable_keys) -> TrainState:
     params = dict(variables["params"])
-    seg = params.pop("seg_net")
+    trainable = {k: params.pop(k) for k in trainable_keys}
     return TrainState(
-        params=seg,
+        params=trainable,
         frozen=params,
         batch_stats=variables["batch_stats"],
-        opt_state=tx.init(seg),
+        opt_state=tx.init(trainable),
         step=jnp.zeros((), jnp.int32),
     )
+
+
+def create_seg_train_state(
+    variables: Dict, tx: optax.GradientTransformation, train_backbone: bool = False
+) -> TrainState:
+    """``train_backbone=True`` adds the backbone to the trainable set —
+    pair with ``build_train_model(freeze_backbone=False)``."""
+    keys = ("seg_net", "backbone") if train_backbone else ("seg_net",)
+    return _split_state(variables, tx, keys)
 
 
 def create_db_train_state(variables: Dict, tx: optax.GradientTransformation) -> TrainState:
-    params = dict(variables["params"])
-    db = params.pop("dbnet")
-    return TrainState(
-        params=db,
-        frozen=params,
-        batch_stats=variables["batch_stats"],
-        opt_state=tx.init(db),
-        step=jnp.zeros((), jnp.int32),
-    )
+    return _split_state(variables, tx, ("dbnet",))
 
 
 def make_seg_train_step(model, tx: optax.GradientTransformation) -> Callable:
@@ -58,9 +59,8 @@ def make_seg_train_step(model, tx: optax.GradientTransformation) -> Callable:
 
     @jax.jit
     def step(state: TrainState, imgs: jax.Array, masks: jax.Array):
-        def loss_fn(seg_params):
-            params = dict(state.frozen)
-            params["seg_net"] = seg_params
+        def loss_fn(trainable):
+            params = {**state.frozen, **trainable}
             pred, new_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 imgs,
@@ -86,8 +86,7 @@ def make_seg_train_step(model, tx: optax.GradientTransformation) -> Callable:
 def make_seg_eval_step(model) -> Callable:
     @jax.jit
     def step(state: TrainState, imgs: jax.Array, masks: jax.Array):
-        params = dict(state.frozen)
-        params["seg_net"] = state.params
+        params = {**state.frozen, **state.params}
         pred = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             imgs,
@@ -111,9 +110,8 @@ def make_db_train_step(model, tx: optax.GradientTransformation, use_bce: bool = 
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, jax.Array]):
-        def loss_fn(db_params):
-            params = dict(state.frozen)
-            params["dbnet"] = db_params
+        def loss_fn(trainable):
+            params = {**state.frozen, **trainable}
             pred, new_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["imgs"],
@@ -140,8 +138,7 @@ def make_db_train_step(model, tx: optax.GradientTransformation, use_bce: bool = 
 def make_db_eval_step(model) -> Callable:
     @jax.jit
     def step(state: TrainState, imgs: jax.Array):
-        params = dict(state.frozen)
-        params["dbnet"] = state.params
+        params = {**state.frozen, **state.params}
         return model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             imgs,

@@ -1,0 +1,192 @@
+"""Train the flagship synthetic checkpoint on the real TPU.
+
+Produces ``data/flagship_r2.npz`` — a deploy checkpoint whose seg/DB heads
+AND backbone are trained on in-repo synthetic comic pages (data/render.py),
+so benchmarks and golden-parity runs exercise realistic detection counts
+instead of damped random weights.  The YOLO block head has no in-repo
+trainer in the reference either (its yolov5 comes pre-trained externally);
+its objectness stays damped, and text blocks form through the stray-line
+clustering path of group_output — the dominant host path either way.
+
+Run (background; remote-TPU compiles take minutes):
+    python scripts/train_flagship.py 2>&1 | tee data/train_flagship.log
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_BG_TRAIN = int(os.environ.get("CTD_TRAIN_PAGES", "224"))
+N_BG_VAL = 16
+IMGSZ = int(os.environ.get("CTD_TRAIN_IMGSZ", "512"))
+SEG_EPOCHS = int(os.environ.get("CTD_SEG_EPOCHS", "60"))
+DB_EPOCHS = int(os.environ.get("CTD_DB_EPOCHS", "20"))
+BATCH = 8
+
+
+def make_backgrounds(out_dir: str, n: int, seed: int) -> None:
+    """Text-free comic-ish pages: white/tinted panels, borders, gradients,
+    halftone noise, random shapes."""
+    from PIL import Image, ImageDraw
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        w, h = 640, 640
+        base = int(rng.integers(200, 256))
+        img = np.full((h, w, 3), base, np.uint8)
+        kind = i % 4
+        if kind == 1:  # vertical gradient
+            g = np.linspace(base - 60, base, h).astype(np.uint8)
+            img[:] = g[:, None, None]
+        elif kind == 2:  # noise texture
+            img = (img.astype(np.int16) + rng.integers(-25, 25, (h, w, 1))).clip(0, 255).astype(np.uint8)
+        pil = Image.fromarray(img)
+        draw = ImageDraw.Draw(pil)
+        # panel borders
+        for _ in range(int(rng.integers(1, 5))):
+            x1, y1 = rng.integers(0, w - 100), rng.integers(0, h - 100)
+            x2, y2 = rng.integers(x1 + 80, min(x1 + 400, w)), rng.integers(y1 + 80, min(y1 + 400, h))
+            draw.rectangle([int(x1), int(y1), int(x2), int(y2)], outline=(0, 0, 0), width=int(rng.integers(2, 5)))
+        # random dark shapes (art stand-ins)
+        for _ in range(int(rng.integers(0, 6))):
+            x, y = rng.integers(0, w - 60), rng.integers(0, h - 60)
+            r = int(rng.integers(15, 60))
+            tone = int(rng.integers(30, 180))
+            draw.ellipse([int(x), int(y), int(x + r), int(y + r)], fill=(tone, tone, tone))
+        pil.save(osp.join(out_dir, f"bg{i:04d}.png"))
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+    import jax
+
+    cache_dir = os.environ.get("CTD_COMPILE_CACHE", osp.join(ROOT, ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print("devices:", jax.devices(), flush=True)
+
+    from comic_text_detector_tpu.data.render import render_comictext
+    from comic_text_detector_tpu.training import db_trainer, seg_trainer
+    from comic_text_detector_tpu.training.checkpoint import save_compact
+
+    work = osp.join(ROOT, "data", "flagship_work")
+    ds_train, ds_val = osp.join(work, "train"), osp.join(work, "val")
+    t0 = time.time()
+    if not osp.exists(osp.join(work, ".rendered")):
+        make_backgrounds(osp.join(work, "bg_train"), N_BG_TRAIN, seed=1)
+        make_backgrounds(osp.join(work, "bg_val"), N_BG_VAL, seed=2)
+        n1 = render_comictext(osp.join(work, "bg_train"), ds_train, seed=3)
+        n2 = render_comictext(osp.join(work, "bg_val"), ds_val, seed=4)
+        open(osp.join(work, ".rendered"), "w").write(f"{n1},{n2}")
+        print(f"rendered {n1} train / {n2} val pages in {time.time()-t0:.0f}s", flush=True)
+
+    hyp_seg = {
+        "data": {
+            "train_img_dir": ds_train,
+            "val_img_dir": ds_val,
+            "imgsz": IMGSZ,
+            "augment": True,
+            "cache": True,
+            "save_dir": work,
+        },
+        "train": {
+            "epochs": SEG_EPOCHS,
+            "batch_size": BATCH,
+            "lr0": 2e-3,
+            "lrf": 0.05,
+            "optimizer": "adam",
+            "momentum": 0.9,
+            "weight_decay": 0.0,
+            "eval_interval": 10,
+            "accumulation_steps": 1,
+            "train_backbone": True,
+        },
+        "model": {"act": "leaky"},
+    }
+    t0 = time.time()
+    seg_out = seg_trainer.train(hyp_seg)
+    seg_state = seg_out["state"]
+    print(
+        f"seg done in {time.time()-t0:.0f}s: best_f1={seg_out['best_f1']:.3f} "
+        f"last_loss={seg_out['last_loss']:.3f} steps={seg_out['steps']}",
+        flush=True,
+    )
+
+    unet_variables = {
+        "params": {
+            "backbone": seg_state.params.get("backbone", seg_state.frozen.get("backbone")),
+            "seg_net": seg_state.params["seg_net"],
+        },
+        "batch_stats": seg_state.batch_stats,
+    }
+
+    hyp_db = {
+        "data": dict(hyp_seg["data"], augment=False),
+        "train": {
+            "epochs": DB_EPOCHS,
+            "batch_size": BATCH,
+            "lr0": 1e-3,
+            "lrf": 0.1,
+            "optimizer": "adam",
+            "momentum": 0.9,
+            "weight_decay": 0.0,
+            "eval_interval": 10,
+            "accumulation_steps": 1,
+            "loss": "bce",
+        },
+        "model": {"act": "leaky"},
+    }
+    t0 = time.time()
+    db_out = db_trainer.train(hyp_db, unet_variables=unet_variables)
+    db_state = db_out["state"]
+    print(f"db done in {time.time()-t0:.0f}s: {db_out.get('last_metrics')}", flush=True)
+
+    # --- assemble the deploy checkpoint -----------------------------------------
+    import jax.random
+
+    from comic_text_detector_tpu.models.detector import (
+        build_inference_model,
+        damp_output_biases,
+        init_variables,
+    )
+
+    model = build_inference_model(act="leaky")
+    deploy = init_variables(model, jax.random.PRNGKey(0), input_size=256)
+    backbone_p = unet_variables["params"]["backbone"]
+    backbone_s = seg_state.batch_stats["backbone"]
+    for k, v in backbone_p.items():
+        deploy["params"]["blk_det"][k] = v
+        deploy["batch_stats"]["blk_det"][k] = backbone_s[k]
+    deploy["params"]["text_seg"] = seg_state.params["seg_net"]
+    deploy["batch_stats"]["text_seg"] = seg_state.batch_stats["seg_net"]
+    deploy["params"]["text_det"] = db_state.params["dbnet"]
+    deploy["batch_stats"]["text_det"] = db_state.batch_stats["dbnet"]
+    # untrained YOLO detect head: damp objectness only (see module docstring)
+    deploy = damp_output_biases(deploy, parts=("detect",))
+
+    out_path = osp.join(ROOT, "data", "flagship_r2.npz")
+    save_compact(out_path, deploy)
+    meta = {
+        "imgsz": IMGSZ,
+        "pages": N_BG_TRAIN,
+        "seg": {"best_f1": float(seg_out["best_f1"]), "steps": int(seg_out["steps"])},
+        "db": {k: float(v) for k, v in (db_out.get("last_metrics") or {}).items()},
+    }
+    with open(out_path + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print("saved", out_path, osp.getsize(out_path) / 1e6, "MB", flush=True)
+
+
+if __name__ == "__main__":
+    main()

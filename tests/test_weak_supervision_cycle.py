@@ -60,7 +60,7 @@ def test_full_cycle(tmp_path):
     from comic_text_detector_tpu.training import db_trainer
 
     unet_variables = {
-        "params": {"backbone": seg_state.frozen["backbone"], "seg_net": seg_state.params},
+        "params": {"backbone": seg_state.frozen["backbone"], "seg_net": seg_state.params["seg_net"]},
         "batch_stats": seg_state.batch_stats,
     }
     db_hyp = dict(hyp_common)
@@ -86,9 +86,9 @@ def test_full_cycle(tmp_path):
     for k, v in blk["params"].items():
         deploy["params"]["blk_det"][k] = v
         deploy["batch_stats"]["blk_det"][k] = blk["batch_stats"][k]
-    deploy["params"]["text_seg"] = seg_state.params
+    deploy["params"]["text_seg"] = seg_state.params["seg_net"]
     deploy["batch_stats"]["text_seg"] = seg_state.batch_stats["seg_net"]
-    deploy["params"]["text_det"] = db_state.params
+    deploy["params"]["text_det"] = db_state.params["dbnet"]
     deploy["batch_stats"]["text_det"] = db_state.batch_stats["dbnet"]
 
     det = TextDetector(variables=deploy, input_size=128, act="leaky")
