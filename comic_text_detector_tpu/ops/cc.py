@@ -67,17 +67,50 @@ def _propagate_once(labels: jax.Array, mask: jax.Array, connectivity: int) -> ja
     return l
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def connected_components(mask: jax.Array, connectivity: int = 8) -> jax.Array:
+def _use_pallas(shape) -> bool:
+    """Pallas CC path: on TPU, for lane/sublane-aligned shapes.  Off-TPU the
+    XLA scan path wins (Pallas interpret mode is orders slower)."""
+    return (
+        jax.default_backend() == "tpu"
+        and shape[0] % 8 == 0
+        and shape[1] % 128 == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def connected_components(mask: jax.Array, connectivity: int = 8, backend: str = "auto") -> jax.Array:
     """Label connected True-regions of a (H, W) bool mask.
 
     Returns int32 (H, W): 0 = background, else (min linear index in the
     component) + 1 — a deterministic canonical labeling (row-major order of
     component tops, like cv2's label order up to renumbering).
+
+    ``backend``: 'auto' picks the fused Pallas propagation kernel on TPU
+    (one HBM round-trip per propagation round instead of ~40 for the
+    log-depth associative scans); 'xla'/'pallas' force a path.
     """
     h, w = mask.shape
     lin = (jnp.arange(h * w, dtype=jnp.int32)).reshape(h, w)
     labels0 = jnp.where(mask, lin, _BIG)
+
+    if backend == "pallas" or (backend == "auto" and _use_pallas(mask.shape)):
+        from comic_text_detector_tpu.ops.pallas_kernels import cc_propagate_round
+
+        mask_u8 = mask.astype(jnp.uint8)
+
+        def cond_p(state):
+            _, changed = state
+            return changed
+
+        def body_p(state):
+            labels, _ = state
+            mid, _c = cc_propagate_round(labels, mask_u8, connectivity)
+            nxt, chg = cc_propagate_round(mid, mask_u8, connectivity)
+            # if the second round changed nothing, nxt IS the fixpoint
+            return nxt, chg[0, 0] > 0
+
+        labels, _ = jax.lax.while_loop(cond_p, body_p, (labels0, jnp.bool_(True)))
+        return jnp.where(mask, labels + 1, 0).astype(jnp.int32)
 
     def cond(state):
         labels, changed = state

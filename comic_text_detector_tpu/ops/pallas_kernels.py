@@ -108,3 +108,98 @@ def binarize(x: jax.Array, thresh) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint8),
         interpret=_interpret(),
     )(t, x)
+
+
+# ---------------------------------------------------------------------------
+# Connected-components propagation round (the CC hot loop, ops/cc.py).
+#
+# One pallas_call per round: forward+backward segmented min-scans along both
+# axes (Hillis-Steele doubling, entirely in VMEM) plus the 8-connectivity
+# diagonal hop, plus the convergence flag — one HBM read + one write of the
+# label map per round, versus ~40 HBM passes/round for the XLA
+# associative_scan formulation (log-depth scans materialize every pass).
+# ---------------------------------------------------------------------------
+
+_CC_BIG = 2**30  # python int: jnp constants would be captured tracers in kernels
+
+
+def _shift_with_fill(x: jax.Array, s: int, axis: int, fill) -> jax.Array:
+    """Non-circular shift by +s (toward higher indices; -s for lower),
+    vacated slots filled — static slices only, so it lowers everywhere."""
+    h, w = x.shape
+    if axis == 1:
+        pad = jnp.full((h, abs(s)), fill, x.dtype)
+        return (
+            jnp.concatenate([pad, x[:, :-s]], axis=1)
+            if s > 0
+            else jnp.concatenate([x[:, -s:], pad], axis=1)
+        )
+    pad = jnp.full((abs(s), w), fill, x.dtype)
+    return (
+        jnp.concatenate([pad, x[:-s, :]], axis=0)
+        if s > 0
+        else jnp.concatenate([x[-s:, :], pad], axis=0)
+    )
+
+
+def _segmented_min_sweep(v: jax.Array, m: jax.Array, axis: int, reverse: bool) -> jax.Array:
+    """In-VMEM segmented min-scan along ``axis``: each foreground pixel ends
+    with the min over its full connected run.  (gate=False, v=BIG) is the
+    shift-in boundary element, which the scan operator absorbs exactly."""
+    n = v.shape[axis]
+    sgn = -1 if reverse else 1
+    g = m & _shift_with_fill(m, sgn, axis, False)
+    s = 1
+    while s < n:
+        vp = _shift_with_fill(v, sgn * s, axis, _CC_BIG)
+        gp = _shift_with_fill(g, sgn * s, axis, False)
+        v = jnp.where(g, jnp.minimum(v, vp), v)
+        g = g & gp
+        s *= 2
+    return v
+
+
+def _cc_round_kernel(connectivity: int, l_ref, m_ref, o_ref, chg_ref):
+    m = m_ref[:] != 0
+    l0 = l_ref[:]
+    l = _segmented_min_sweep(l0, m, axis=1, reverse=False)
+    l = _segmented_min_sweep(l, m, axis=1, reverse=True)
+    l = _segmented_min_sweep(l, m, axis=0, reverse=False)
+    l = _segmented_min_sweep(l, m, axis=0, reverse=True)
+    if connectivity == 8:
+        h, w = l.shape
+        p = jnp.pad(l, ((1, 1), (1, 1)), constant_values=_CC_BIG)
+        diag = jnp.minimum(
+            jnp.minimum(
+                jax.lax.dynamic_slice(p, (0, 0), (h, w)),
+                jax.lax.dynamic_slice(p, (0, 2), (h, w)),
+            ),
+            jnp.minimum(
+                jax.lax.dynamic_slice(p, (2, 0), (h, w)),
+                jax.lax.dynamic_slice(p, (2, 2), (h, w)),
+            ),
+        )
+        l = jnp.where(m, jnp.minimum(l, diag), _CC_BIG)
+    o_ref[:] = l
+    chg_ref[0, 0] = jnp.any(l != l0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def cc_propagate_round(labels: jax.Array, mask_u8: jax.Array, connectivity: int = 8):
+    """One full propagation round. labels (H, W) i32 (background = 2**30),
+    mask_u8 (H, W) uint8. Returns (labels', changed scalar i32)."""
+    h, w = labels.shape
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        functools.partial(_cc_round_kernel, connectivity),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=_interpret(),
+    )(labels, mask_u8)
