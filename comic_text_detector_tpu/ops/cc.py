@@ -94,9 +94,21 @@ def connected_components(mask: jax.Array, connectivity: int = 8, backend: str = 
     labels0 = jnp.where(mask, lin, _BIG)
 
     if backend == "pallas" or (backend == "auto" and _use_pallas(mask.shape)):
-        from comic_text_detector_tpu.ops.pallas_kernels import cc_propagate_round
+        from comic_text_detector_tpu.ops.pallas_kernels import cc_col_sweep, cc_row_sweep
 
         mask_u8 = mask.astype(jnp.uint8)
+
+        def round_p(l):
+            l = cc_row_sweep(l, mask_u8)
+            l = cc_col_sweep(l, mask_u8)
+            if connectivity == 8:
+                # diagonal hop + re-mask fuse into one XLA stencil pass
+                p = jnp.pad(l, 1, constant_values=_BIG)
+                diag = jnp.minimum(
+                    jnp.minimum(p[:-2, :-2], p[:-2, 2:]), jnp.minimum(p[2:, :-2], p[2:, 2:])
+                )
+                l = jnp.where(mask, jnp.minimum(l, diag), _BIG)
+            return l
 
         def cond_p(state):
             _, changed = state
@@ -104,10 +116,10 @@ def connected_components(mask: jax.Array, connectivity: int = 8, backend: str = 
 
         def body_p(state):
             labels, _ = state
-            mid, _c = cc_propagate_round(labels, mask_u8, connectivity)
-            nxt, chg = cc_propagate_round(mid, mask_u8, connectivity)
+            mid = round_p(labels)
+            nxt = round_p(mid)
             # if the second round changed nothing, nxt IS the fixpoint
-            return nxt, chg[0, 0] > 0
+            return nxt, jnp.any(nxt != mid)
 
         labels, _ = jax.lax.while_loop(cond_p, body_p, (labels0, jnp.bool_(True)))
         return jnp.where(mask, labels + 1, 0).astype(jnp.int32)

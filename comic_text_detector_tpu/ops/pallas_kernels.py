@@ -111,13 +111,15 @@ def binarize(x: jax.Array, thresh) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Connected-components propagation round (the CC hot loop, ops/cc.py).
+# Connected-components propagation sweeps (the CC hot loop, ops/cc.py).
 #
-# One pallas_call per round: forward+backward segmented min-scans along both
-# axes (Hillis-Steele doubling, entirely in VMEM) plus the 8-connectivity
-# diagonal hop, plus the convergence flag — one HBM read + one write of the
-# label map per round, versus ~40 HBM passes/round for the XLA
-# associative_scan formulation (log-depth scans materialize every pass).
+# Two grid-tiled pallas kernels per round: forward+backward segmented
+# min-scans along rows (row-band blocks) and along columns (column-strip
+# blocks), each as in-VMEM Hillis-Steele doubling — one HBM read + write of
+# the label map per sweep, versus ~40 materialized passes per round for the
+# XLA associative_scan formulation (log-depth scans materialize every step).
+# The cheap diagonal hop + convergence test stay in XLA (they fuse to a
+# single stencil pass).
 # ---------------------------------------------------------------------------
 
 _CC_BIG = 2**30  # python int: jnp constants would be captured tracers in kernels
@@ -159,47 +161,51 @@ def _segmented_min_sweep(v: jax.Array, m: jax.Array, axis: int, reverse: bool) -
     return v
 
 
-def _cc_round_kernel(connectivity: int, l_ref, m_ref, o_ref, chg_ref):
+def _scan_kernel(axis: int, l_ref, m_ref, o_ref):
     m = m_ref[:] != 0
-    l0 = l_ref[:]
-    l = _segmented_min_sweep(l0, m, axis=1, reverse=False)
-    l = _segmented_min_sweep(l, m, axis=1, reverse=True)
-    l = _segmented_min_sweep(l, m, axis=0, reverse=False)
-    l = _segmented_min_sweep(l, m, axis=0, reverse=True)
-    if connectivity == 8:
-        h, w = l.shape
-        p = jnp.pad(l, ((1, 1), (1, 1)), constant_values=_CC_BIG)
-        diag = jnp.minimum(
-            jnp.minimum(
-                jax.lax.dynamic_slice(p, (0, 0), (h, w)),
-                jax.lax.dynamic_slice(p, (0, 2), (h, w)),
-            ),
-            jnp.minimum(
-                jax.lax.dynamic_slice(p, (2, 0), (h, w)),
-                jax.lax.dynamic_slice(p, (2, 2), (h, w)),
-            ),
-        )
-        l = jnp.where(m, jnp.minimum(l, diag), _CC_BIG)
-    o_ref[:] = l
-    chg_ref[0, 0] = jnp.any(l != l0).astype(jnp.int32)
+    l = _segmented_min_sweep(l_ref[:], m, axis=axis, reverse=False)
+    o_ref[:] = _segmented_min_sweep(l, m, axis=axis, reverse=True)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def cc_propagate_round(labels: jax.Array, mask_u8: jax.Array, connectivity: int = 8):
-    """One full propagation round. labels (H, W) i32 (background = 2**30),
-    mask_u8 (H, W) uint8. Returns (labels', changed scalar i32)."""
+def _band(n: int, target: int = 256) -> int:
+    """Largest power-of-two block size <= target dividing n (>= 8)."""
+    b = target
+    while b > 8 and n % b:
+        b //= 2
+    return b if n % b == 0 else n
+
+
+@jax.jit
+def cc_row_sweep(labels: jax.Array, mask_u8: jax.Array) -> jax.Array:
+    """Forward+backward segmented min-scan along rows, tiled in row bands."""
     h, w = labels.shape
-    from jax.experimental.pallas import tpu as pltpu
-
+    r = _band(h)
     return pl.pallas_call(
-        functools.partial(_cc_round_kernel, connectivity),
-        out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ),
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        functools.partial(_scan_kernel, 1),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        grid=(h // r,),
+        in_specs=[
+            pl.BlockSpec((r, w), lambda i: (i, 0)),
+            pl.BlockSpec((r, w), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((r, w), lambda i: (i, 0)),
+        interpret=_interpret(),
+    )(labels, mask_u8)
+
+
+@jax.jit
+def cc_col_sweep(labels: jax.Array, mask_u8: jax.Array) -> jax.Array:
+    """Forward+backward segmented min-scan along columns, tiled in strips."""
+    h, w = labels.shape
+    c = _band(w, 256 if h <= 4096 else 128)
+    return pl.pallas_call(
+        functools.partial(_scan_kernel, 0),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        grid=(w // c,),
+        in_specs=[
+            pl.BlockSpec((h, c), lambda i: (0, i)),
+            pl.BlockSpec((h, c), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((h, c), lambda i: (0, i)),
         interpret=_interpret(),
     )(labels, mask_u8)
