@@ -26,7 +26,10 @@ import jax.numpy as jnp
 
 from comic_text_detector_tpu.constants import MAX_DB_COMPONENTS
 
-_BIG = jnp.int32(2**30)
+# python int, not jnp.int32: a module-level jax array would be captured as
+# a committed single-device constant in every trace (breaks re-execution on
+# multi-device backends)
+_BIG = 2**30
 
 
 def _segmented_min_scan(vals: jax.Array, mask: jax.Array, axis: int, reverse: bool) -> jax.Array:

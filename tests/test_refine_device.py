@@ -1,0 +1,103 @@
+"""Device mask refinement (ops/refine.py) vs the host path.
+
+On identity-sized windows (box side == S) the device pipeline is bit-exact
+against the host merge (same candidates, same accept tests); on resampled
+windows it must stay within a tight IoU of the host result computed on the
+same crop."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comic_text_detector_tpu.ops import refine as R
+from comic_text_detector_tpu.postproc import textmask as tm
+
+
+def _page(seed, H=512, W=512, noise=10):
+    rng = np.random.default_rng(seed)
+    img = np.full((H, W, 3), 230, np.uint8)
+    img += rng.integers(-noise, noise, img.shape).astype(np.int8).astype(np.uint8) // 2
+    mask = np.zeros((H, W), np.uint8)
+    for i in range(14):
+        y = 40 + (i // 4) * 40
+        x = 40 + (i % 4) * 50
+        w, h = int(rng.integers(20, 40)), int(rng.integers(8, 14))
+        img[y:y + h, x:x + w] = int(rng.integers(0, 60))
+        mask[y - 3:y + h + 3, x - 3:x + w + 3] = 230
+    return img, mask
+
+
+def _host_merged(img, mask, box, refine_mode):
+    x1, y1, x2, y2 = box
+    im, mk = img[y1:y2, x1:x2], mask[y1:y2, x1:x2]
+    ml = tm.get_topk_masklist(im, mk) + tm.get_otsuthresh_masklist(im, mk)
+    return tm.merge_mask_list(ml, mk, refine_mode=refine_mode)
+
+
+@pytest.mark.parametrize("refine_mode", [0, 1])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_identity_window_bit_exact(seed, refine_mode):
+    img, mask = _page(seed)
+    box = np.array([[16, 16, 16 + R.S, 16 + R.S]], np.int32)
+    host = _host_merged(img, mask, box[0], refine_mode)
+    canvas = np.asarray(
+        R.refine_windows(jnp.asarray(img), jnp.asarray(mask), jnp.asarray(box),
+                         jnp.asarray([True]), refine_mode)
+    )
+    dev = canvas[16:16 + R.S, 16:16 + R.S]
+    np.testing.assert_array_equal(dev > 0, host > 0)
+    # nothing outside the window
+    outside = canvas.copy()
+    outside[16:16 + R.S, 16:16 + R.S] = 0
+    assert outside.sum() == 0
+
+
+def test_invalid_windows_contribute_nothing():
+    img, mask = _page(0)
+    box = np.array([[16, 16, 272, 272], [0, 0, 128, 128]], np.int32)
+    valid = np.array([True, False])
+    both = np.asarray(
+        R.refine_windows(jnp.asarray(img), jnp.asarray(mask), jnp.asarray(box),
+                         jnp.asarray(valid), 0)
+    )
+    only = np.asarray(
+        R.refine_windows(jnp.asarray(img), jnp.asarray(mask), jnp.asarray(box[:1]),
+                         jnp.asarray(valid[:1]), 0)
+    )
+    np.testing.assert_array_equal(both, only)
+
+
+@pytest.mark.parametrize("box", [(20, 30, 180, 150), (0, 0, 400, 400)])
+def test_resampled_window_close_to_host(box):
+    """Non-S-sized windows go through bilinear resampling; the result must
+    stay close to the host merge on the exact crop."""
+    img, mask = _page(3, noise=4)
+    b = np.array([box], np.int32)
+    host = _host_merged(img, mask, box, 0)
+    canvas = np.asarray(
+        R.refine_windows(jnp.asarray(img), jnp.asarray(mask), jnp.asarray(b),
+                         jnp.asarray([True]), 0)
+    )
+    x1, y1, x2, y2 = box
+    dev = canvas[y1:y2, x1:x2] > 0
+    hs = host > 0
+    inter, union = (dev & hs).sum(), (dev | hs).sum()
+    iou = inter / max(union, 1)
+    assert iou > 0.9, iou
+
+
+def test_two_overlapping_windows_or():
+    img, mask = _page(4, noise=2)
+    boxes = np.array([[16, 16, 272, 272], [128, 128, 384, 384]], np.int32)
+    # the padded refine_page API: one executable regardless of window count
+    canvas = np.asarray(R.refine_page(jnp.asarray(img), jnp.asarray(mask), boxes, 0))
+    c0 = np.asarray(R.refine_page(jnp.asarray(img), jnp.asarray(mask), boxes[:1], 0))
+    c1 = np.asarray(R.refine_page(jnp.asarray(img), jnp.asarray(mask), boxes[1:], 0))
+    np.testing.assert_array_equal(canvas > 0, (c0 > 0) | (c1 > 0))
+
+
+def test_refine_page_empty():
+    img, mask = _page(5)
+    c = np.asarray(R.refine_page(jnp.asarray(img), jnp.asarray(mask), np.zeros((0, 4)), 0))
+    assert c.sum() == 0
