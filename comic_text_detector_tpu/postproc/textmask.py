@@ -1,24 +1,32 @@
-"""Color-model mask refinement.
+"""Color-model mask refinement (host path).
 
-Behavioral re-implementation of the reference's utils/textmask.py: per-block
-windows are re-thresholded with top-k grey-histogram bands and per-channel
-Otsu, and connected components of each candidate are greedily merged when
-they reduce the byte-XOR distance to the predicted mask (:16-132); blocks of
-raw mask the detector missed are rescued via CC overlap (:135-156).
+Behavioral contract: reference utils/textmask.py.  Per text block, the
+predicted segmentation is refit against the actual page colors: candidate
+masks come from grey-histogram bands around the dominant text colors
+(:56-71) and per-channel Otsu thresholds (:43-54); connected components of
+each candidate are absorbed when they reduce the byte-XOR distance to the
+prediction (:73-110); small holes that help are adopted (:113-131); and raw
+mask regions no block covers are rescued through the same machinery
+(:135-156).
 
-All uint8/byte semantics (0/255 masks XORed against the *grayscale*
-predicted mask) are preserved — the greedy objective operates on raw bytes.
+The implementation is this framework's own: the reference's per-component
+Python loop is replaced by vectorized ``np.bincount`` accept tests — the
+component decisions are independent (components are disjoint and each test
+only reads already-merged state at its own pixels), so the batched form
+computes the identical result orders of magnitude faster on a 1-vCPU host.
+The TPU-resident version of this whole module is ops/refine.py; this host
+path is the bit-level parity reference (tests/test_textmask_parity.py runs
+the reference itself as the oracle).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from comic_text_detector_tpu.constants import REFINEMASK_INPAINT
 from comic_text_detector_tpu.postproc.textblock import TextBlock
-from comic_text_detector_tpu.ops.geometry import fill_polygons
 from comic_text_detector_tpu.utils.imgproc import (
     KERNEL_ELLIPSE3,
     KERNEL_RECT3,
@@ -36,77 +44,137 @@ from comic_text_detector_tpu.utils.imgproc import (
 WHITE = (255, 255, 255)
 BLACK = (0, 0, 0)
 
-
-def get_topk_color(color_list, bins, k: int = 3, color_var: int = 10, bin_tol: float = 0.001):
-    """Pick up to k dominant grey levels at least ``color_var`` apart
-    (reference :16-27)."""
-    idx = np.argsort(bins * -1)
-    color_list, bins = color_list[idx], bins[idx]
-    top_colors = [color_list[0]]
-    bin_tol = np.sum(bins) * bin_tol
-    if len(color_list) > 1:
-        for color, b in zip(color_list[1:], bins[1:]):
-            if np.abs(np.array(top_colors) - color).min() > color_var:
-                top_colors.append(color)
-            if len(top_colors) >= k or b < bin_tol:
-                break
-    return top_colors
+# a candidate mask is (thresholded uint8 0/255 map, byte-XOR score vs the
+# predicted mask) — lower scores are applied first
+Candidate = Tuple[np.ndarray, int]
 
 
-def _xor_sum(a: np.ndarray, b: np.ndarray) -> int:
+def _byte_xor(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.bitwise_xor(a, b).sum())
 
 
-def minxor_thresh(threshed: np.ndarray, mask: np.ndarray, dilate: bool = False):
-    """Pick the polarity of a thresholded mask that better matches the
-    predicted mask under byte-XOR (reference :29-41)."""
-    neg_threshed = 255 - threshed
-    if dilate:
-        neg_threshed = grey_dilate(neg_threshed, KERNEL_RECT3)
-        threshed = grey_dilate(threshed, KERNEL_RECT3)
-    neg_xor_sum = _xor_sum(neg_threshed, mask)
-    xor_sum = _xor_sum(threshed, mask)
-    if neg_xor_sum < xor_sum:
-        return neg_threshed, neg_xor_sum
-    return threshed, xor_sum
+def _best_polarity(threshed: np.ndarray, target: np.ndarray) -> Candidate:
+    """Keep whichever polarity of a binary map is closer to ``target`` under
+    byte-XOR (reference minxor_thresh :29-41)."""
+    inverted = 255 - threshed
+    score = _byte_xor(threshed, target)
+    score_inv = _byte_xor(inverted, target)
+    return (inverted, score_inv) if score_inv < score else (threshed, score)
 
 
-def get_otsuthresh_masklist(img: np.ndarray, pred_mask: np.ndarray, per_channel: bool = False):
-    """Per-BGR-channel Otsu candidates, best-XOR first (reference :43-54)."""
-    mask_list = []
-    for c in range(3):
-        _, threshed = otsu_threshold(img[..., c])
-        threshed, xs = minxor_thresh(threshed, pred_mask, dilate=False)
-        mask_list.append([threshed, xs])
-    mask_list.sort(key=lambda x: x[1])
-    return mask_list if per_channel else [mask_list[0]]
+def _dominant_grey_levels(
+    counts: np.ndarray, levels: np.ndarray, k: int = 3, min_gap: int = 10, rel_tol: float = 0.001
+) -> List[float]:
+    """Up to ``k`` histogram peaks at least ``min_gap`` grey levels apart,
+    scanned in count order; the scan stops at bins under ``rel_tol`` of the
+    total mass (reference get_topk_color :16-27, including its
+    append-then-break order)."""
+    order = np.argsort(-counts)
+    peaks = [levels[order[0]]]
+    floor = counts.sum() * rel_tol
+    for idx in order[1:]:
+        if min(abs(p - levels[idx]) for p in peaks) > min_gap:
+            peaks.append(levels[idx])
+        if len(peaks) >= k or counts[idx] < floor:
+            break
+    return peaks
 
 
-def get_topk_masklist(im_grey: np.ndarray, pred_mask: np.ndarray):
-    """Grey-histogram band candidates around the top-k text colors
-    (reference :56-71)."""
+def get_topk_masklist(im_grey: np.ndarray, pred_mask: np.ndarray) -> List[Candidate]:
+    """Grey-band candidates around the dominant text colors (reference :56-71).
+
+    The histogram is taken over pixels the eroded prediction marks as text
+    (falling back to the whole window when erosion empties it), with
+    np.histogram's 255 data-range bins.
+    """
     if im_grey.ndim == 3 and im_grey.shape[-1] == 3:
         im_grey = bgr2gray(im_grey)
-    msk = np.ascontiguousarray(pred_mask)
-    eroded = grey_erode(msk, KERNEL_RECT3)
-    candidate_grey_px = im_grey[eroded > 127]
-    if candidate_grey_px.size == 0:
-        candidate_grey_px = im_grey.reshape(-1)
-    bins, his = np.histogram(candidate_grey_px, bins=255)
-    topk_color = get_topk_color(his, bins, color_var=10, k=3)
-    color_range = 30
-    mask_list = []
-    for color in topk_color:
-        c_top = min(color + color_range, 255)
-        c_bottom = c_top - 2 * color_range
-        threshed = in_range(im_grey, c_bottom, c_top)
-        threshed, xs = minxor_thresh(threshed, msk)
-        mask_list.append([threshed, xs])
-    return mask_list
+    target = np.ascontiguousarray(pred_mask)
+    core = grey_erode(target, KERNEL_RECT3)
+    text_px = im_grey[core > 127]
+    if text_px.size == 0:
+        text_px = im_grey.reshape(-1)
+    counts, edges = np.histogram(text_px, bins=255)
+    peaks = _dominant_grey_levels(counts, edges)
+
+    half_band = 30
+    out: List[Candidate] = []
+    for level in peaks:
+        hi = min(level + half_band, 255)
+        lo = hi - 2 * half_band
+        out.append(_best_polarity(in_range(im_grey, lo, hi), target))
+    return out
+
+
+def get_otsuthresh_masklist(
+    img: np.ndarray, pred_mask: np.ndarray, per_channel: bool = False
+) -> List[Candidate]:
+    """Per-BGR-channel Otsu candidates, best-XOR first (reference :43-54)."""
+    out = [
+        _best_polarity(otsu_threshold(img[..., ch])[1], pred_mask) for ch in range(3)
+    ]
+    out.sort(key=lambda c: c[1])
+    return out if per_channel else out[:1]
+
+
+def _component_tables(binary: np.ndarray, connectivity: int):
+    """(labels, stats) of a 0/255 map's components."""
+    _n, labels, stats, _cent = connected_components_with_stats(binary, connectivity)
+    return labels, stats
+
+
+def _absorb_matching_components(
+    merged: np.ndarray, candidate: np.ndarray, target: np.ndarray
+) -> np.ndarray:
+    """Vectorized candidate-component merge (reference :95-110).
+
+    A component joins ``merged`` iff its not-yet-merged pixels agree with the
+    binarized prediction more than they disagree — exactly the reference's
+    per-component ``xor_merged < xor_origin`` bbox test, whose delta reduces
+    to that vote (components are disjoint, so batching preserves the result).
+    Components with a bounding box under 3 px (singletons, straight pairs)
+    are skipped like the reference.
+    """
+    labels, stats = _component_tables(candidate, connectivity=8)
+    n = len(stats)
+    if n <= 1:
+        return merged
+    new = merged == 0
+    hit = target > 0
+    votes_for = np.bincount(labels[new & hit].reshape(-1), minlength=n)
+    votes_against = np.bincount(labels[new & ~hit].reshape(-1), minlength=n)
+    accept = votes_for > votes_against
+    accept[0] = False
+    accept &= (stats[:, 2] * stats[:, 3]) >= 3  # bbox w*h >= 3
+    out = merged.copy()
+    out[accept[labels]] = 255
+    return out
+
+
+def _adopt_small_holes(merged: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """Hole-filling pass (reference :113-131): components of the inverse mask
+    smaller than the second-largest area are adopted when they reduce the
+    XOR objective.  cv2's label 0 (the merged region itself) participates in
+    the area ranking but can never change the result, matching the reference.
+    """
+    labels, stats = _component_tables(255 - merged, connectivity=8)
+    areas = stats[:, 4]
+    area_cap = np.sort(areas)[-2] if len(areas) > 1 else areas[-1]
+    hit = target > 0
+    n = len(stats)
+    votes_for = np.bincount(labels[hit].reshape(-1), minlength=n)
+    votes_against = np.bincount(labels[~hit].reshape(-1), minlength=n)
+    # label-0 pixels are already merged: adopting them is a no-op, and their
+    # vote test can only fail (they XOR-match by construction)
+    accept = (votes_for > votes_against) & (areas < area_cap)
+    accept[0] = False
+    out = merged.copy()
+    out[accept[labels]] = 255
+    return out
 
 
 def merge_mask_list(
-    mask_list,
+    mask_list: Sequence,
     pred_mask: np.ndarray,
     blk: Optional[TextBlock] = None,
     pred_thresh: int = 30,
@@ -114,55 +182,25 @@ def merge_mask_list(
     filter_with_lines: bool = False,
     refine_mode: int = REFINEMASK_INPAINT,
 ) -> np.ndarray:
-    """Greedy XOR-minimizing merge of candidate-mask components, then a
-    hole-filling pass (reference :73-132)."""
-    mask_list.sort(key=lambda x: x[1])
-    linemask = None
-    if blk is not None and filter_with_lines:
-        lines = blk.lines_array(dtype=np.int64).copy()
-        lines[..., 0] -= text_window[0]
-        lines[..., 1] -= text_window[1]
-        linemask = fill_polygons(lines, pred_mask.shape[0], pred_mask.shape[1]) * 255
-        linemask = grey_dilate(linemask, KERNEL_RECT3, iterations=3)
+    """Fuse candidate masks into one refined mask (reference :73-132).
 
+    Candidates apply in ascending XOR order against an eroded+binarized
+    prediction target; an INPAINT-mode dilation widens the result before
+    hole adoption.  (``blk``/``text_window``/``filter_with_lines`` are
+    accepted for API parity; the reference computes a line mask from them
+    and then never uses it — :78-88.)
+    """
+    ordered = sorted(mask_list, key=lambda c: c[1])
+    target = pred_mask
     if pred_thresh > 0:
-        pred_mask = grey_erode(pred_mask, KERNEL_ELLIPSE3)
-        pred_mask = threshold_binary(pred_mask, 60)
-    mask_merged = np.zeros_like(pred_mask)
-    for candidate_mask, _xs in mask_list:
-        num_labels, labels, stats, _cent = connected_components_with_stats(candidate_mask, 8)
-        for label_index in range(1, num_labels):
-            x, y, w, h, area = stats[label_index]
-            if w * h < 3:
-                continue
-            x1, y1, x2, y2 = x, y, x + w, y + h
-            label_local = labels[y1:y2, x1:x2]
-            tmp = np.where(label_local == label_index, np.uint8(255), np.uint8(0))
-            tmp_merged = np.bitwise_or(mask_merged[y1:y2, x1:x2], tmp)
-            xor_merged = _xor_sum(tmp_merged, pred_mask[y1:y2, x1:x2])
-            xor_origin = _xor_sum(mask_merged[y1:y2, x1:x2], pred_mask[y1:y2, x1:x2])
-            if xor_merged < xor_origin:
-                mask_merged[y1:y2, x1:x2] = tmp_merged
+        target = threshold_binary(grey_erode(target, KERNEL_ELLIPSE3), 60)
 
+    merged = np.zeros_like(target)
+    for candidate, _score in ordered:
+        merged = _absorb_matching_components(merged, candidate, target)
     if refine_mode == REFINEMASK_INPAINT:
-        mask_merged = grey_dilate(mask_merged, KERNEL_RECT3, iterations=1)
-
-    # hole filling: adopt small holes that reduce the XOR distance
-    num_labels, labels, stats, _cent = connected_components_with_stats(255 - mask_merged, 8)
-    sorted_area = np.sort(stats[:, -1])
-    area_thresh = sorted_area[-2] if len(sorted_area) > 1 else sorted_area[-1]
-    for label_index in range(num_labels):
-        x, y, w, h, area = stats[label_index]
-        if area < area_thresh:
-            x1, y1, x2, y2 = x, y, x + w, y + h
-            label_local = labels[y1:y2, x1:x2]
-            tmp = np.where(label_local == label_index, np.uint8(255), np.uint8(0))
-            tmp_merged = np.bitwise_or(mask_merged[y1:y2, x1:x2], tmp)
-            xor_merged = _xor_sum(tmp_merged, pred_mask[y1:y2, x1:x2])
-            xor_origin = _xor_sum(mask_merged[y1:y2, x1:x2], pred_mask[y1:y2, x1:x2])
-            if xor_merged < xor_origin:
-                mask_merged[y1:y2, x1:x2] = tmp_merged
-    return mask_merged
+        merged = grey_dilate(merged, KERNEL_RECT3, iterations=1)
+    return _adopt_small_holes(merged, target)
 
 
 def refine_mask(
@@ -172,20 +210,20 @@ def refine_mask(
     refine_mode: int = REFINEMASK_INPAINT,
 ) -> np.ndarray:
     """Per-block color-model refit of the predicted mask (reference :159-169)."""
-    mask_refined = np.zeros_like(pred_mask)
+    refined = np.zeros_like(pred_mask)
     for blk in blk_list:
-        bx1, by1, bx2, by2 = expand_textwindow(img.shape, blk.xyxy, expand_r=16)
-        im = np.ascontiguousarray(img[by1:by2, bx1:bx2])
-        msk = np.ascontiguousarray(pred_mask[by1:by2, bx1:bx2])
-        if im.size == 0 or msk.size == 0:
+        x1, y1, x2, y2 = expand_textwindow(img.shape, blk.xyxy, expand_r=16)
+        window = np.ascontiguousarray(img[y1:y2, x1:x2])
+        window_pred = np.ascontiguousarray(pred_mask[y1:y2, x1:x2])
+        if window.size == 0 or window_pred.size == 0:
             continue
-        mask_list = get_topk_masklist(im, msk)
-        mask_list += get_otsuthresh_masklist(im, msk, per_channel=False)
-        mask_merged = merge_mask_list(
-            mask_list, msk, blk=blk, text_window=[bx1, by1, bx2, by2], refine_mode=refine_mode
+        candidates = get_topk_masklist(window, window_pred)
+        candidates += get_otsuthresh_masklist(window, window_pred)
+        merged = merge_mask_list(
+            candidates, window_pred, blk=blk, text_window=[x1, y1, x2, y2], refine_mode=refine_mode
         )
-        mask_refined[by1:by2, bx1:bx2] = np.bitwise_or(mask_refined[by1:by2, bx1:bx2], mask_merged)
-    return mask_refined
+        refined[y1:y2, x1:x2] = np.bitwise_or(refined[y1:y2, x1:x2], merged)
+    return refined
 
 
 def refine_undetected_mask(
@@ -195,25 +233,21 @@ def refine_undetected_mask(
     blk_list: List[TextBlock],
     refine_mode: int = REFINEMASK_INPAINT,
 ) -> np.ndarray:
-    """Rescue raw-mask components not covered by any block (reference :135-156)."""
-    mask_pred = mask_pred.copy()
-    mask_pred[mask_refined > 30] = 0
-    pred_mask_t = threshold_binary(mask_pred, 30)
-    num_labels, labels, stats, _cent = connected_components_with_stats(pred_mask_t, 4)
-    valid_labels = np.where(stats[:, -1] > 50)[0]
-    seg_blk_list = []
-    if len(valid_labels) > 0:
-        for lab_index in valid_labels[1:]:
-            x, y, w, h, area = stats[lab_index]
-            bbox = [x, y, x + w, y + h]
-            bbox_score = -1
-            for blk in blk_list:
-                s = intersect_area(blk.xyxy, bbox)
-                if s > bbox_score:
-                    bbox_score = s
-            if bbox_score / w / h < 0.5:
-                seg_blk_list.append(TextBlock(bbox))
-    if len(seg_blk_list) > 0:
-        extra = refine_mask(img, mask_pred, seg_blk_list, refine_mode=refine_mode)
+    """Rescue raw-mask components no block covers (reference :135-156):
+    sizeable leftover components whose best block overlap is under half
+    their bbox become synthetic blocks and go through refine_mask."""
+    leftover = mask_pred.copy()
+    leftover[mask_refined > 30] = 0
+    labels_map, stats = _component_tables(threshold_binary(leftover, 30), connectivity=4)
+    rescued: List[TextBlock] = []
+    big_enough = np.where(stats[:, 4] > 50)[0]
+    for li in big_enough[1:] if len(big_enough) else []:
+        x, y, w, h, _area = stats[li]
+        bbox = [x, y, x + w, y + h]
+        best = max((intersect_area(blk.xyxy, bbox) for blk in blk_list), default=-1)
+        if best / w / h < 0.5:
+            rescued.append(TextBlock(bbox))
+    if rescued:
+        extra = refine_mask(img, leftover, rescued, refine_mode=refine_mode)
         mask_refined = np.bitwise_or(mask_refined, extra)
     return mask_refined
