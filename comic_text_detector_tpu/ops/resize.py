@@ -167,3 +167,14 @@ def letterbox_fast_np(img: np.ndarray, new_shape) -> Tuple[np.ndarray, Tuple[flo
         out = resize_bilinear_np(img, (nh, nw))
     pad = ((0, dh), (0, dw), (0, 0)) if img.ndim == 3 else ((0, dh), (0, dw))
     return np.pad(out, pad), (r, r), (dw, dh)
+
+
+def letterbox_device_u8(img_u8: jax.Array, new_shape: int) -> jax.Array:
+    """uint8 (H,W,3) -> uint8 (new,new,3): resize + bottom/right zero-pad,
+    staying in uint8 so the letterboxed page can feed both the net (after
+    /255) and the device mask-refinement windows."""
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    nh, nw, dw, dh, _ = letterbox_shape(h, w, new_shape)
+    x = resize_bilinear(img_u8.astype(jnp.float32), (nh, nw))
+    x = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+    return jnp.pad(x, ((0, dh), (0, dw), (0, 0)))

@@ -26,7 +26,7 @@ from comic_text_detector_tpu.models.detector import build_inference_model, init_
 from comic_text_detector_tpu.config import YOLOV5S_CFG
 from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects, db_decode_full_device
 from comic_text_detector_tpu.ops.nms import nms_single
-from comic_text_detector_tpu.ops.resize import letterbox_device, letterbox_shape, resize_bilinear_fast
+from comic_text_detector_tpu.ops.resize import letterbox_device_u8, letterbox_shape, resize_bilinear_fast
 from comic_text_detector_tpu.postproc.textblock import group_output
 from comic_text_detector_tpu.postproc.textmask import refine_mask, refine_undetected_mask
 
@@ -48,7 +48,14 @@ class BatchTextDetector:
         conf_thresh: float = C.DEFAULT_CONF_THRESH,
         nms_thresh: float = C.DEFAULT_NMS_THRESH,
         mesh=None,
+        refine_backend: str = "host",
+        mask_transfer: str = "grey",
     ):
+        # see TextDetector for the refine_backend / mask_transfer contract
+        self.refine_backend = refine_backend
+        self.mask_transfer = mask_transfer
+        if mask_transfer == "packed" and refine_backend != "device":
+            raise ValueError("mask_transfer='packed' requires refine_backend='device'")
         self.batch_size = batch_size
         self.size = input_size
         self.conf_thresh = conf_thresh
@@ -77,18 +84,25 @@ class BatchTextDetector:
         size = self.size
 
         @jax.jit
-        def infer(variables, x):
-            """(B, S, S, 3) float [0,1] -> per-page NMS rows/counts, uint8
-            masks, on-device DB rects — one dispatch, compact transfers."""
+        def infer(variables, x_u8):
+            """(B, S, S, 3) uint8 letterboxed -> per-page NMS rows/counts,
+            uint8 (or 1-bpp packed) masks, on-device DB rects — one dispatch,
+            compact transfers.  Also returns the full-res device mask batch
+            for the on-device refinement stage."""
+            x = x_u8.astype(jnp.float32) / 255.0
             blks, mask, lines = self.model.apply(variables, x)
             rows, counts = jax.vmap(
                 lambda p: nms_single(p.astype(jnp.float32), self.conf_thresh, self.nms_thresh)
             )(blks)
-            masks_u8 = (mask[..., 0].astype(jnp.float32) * 255.0).astype(jnp.uint8)
+            masks_full = (mask[..., 0].astype(jnp.float32) * 255.0).astype(jnp.uint8)
+            if self.mask_transfer == "packed":
+                masks_out = jnp.packbits(masks_full > 30, axis=-1)
+            else:
+                masks_out = masks_full
             boxes, scores, valid = jax.vmap(lambda s: db_decode_full_device(s, self.db_thresh))(
                 lines[..., 0].astype(jnp.float32)
             )
-            return rows, counts, masks_u8, boxes, scores, valid
+            return rows, counts, masks_out, boxes, scores, valid, masks_full
 
         return infer
 
@@ -107,26 +121,30 @@ class BatchTextDetector:
         for img in pages:
             im_h, im_w = img.shape[:2]
             _, _, dw, dh, _ = letterbox_shape(im_h, im_w, size)
-            lbs.append(letterbox_device(jnp.asarray(img), size))
+            lbs.append(letterbox_device_u8(jnp.asarray(img), size))
             metas.append((im_h, im_w, dw, dh))
         while len(lbs) < self.batch_size:
-            lbs.append(jnp.zeros((size, size, 3), jnp.float32))
+            lbs.append(jnp.zeros((size, size, 3), jnp.uint8))
         device_batch = jnp.stack(lbs)
         if self.mesh is not None:
             from comic_text_detector_tpu.parallel.mesh import shard_batch_spec
 
             device_batch = jax.device_put(device_batch, shard_batch_spec(self.mesh, 4))
-        outputs = self._infer(self.variables, device_batch)
-        # crop masks to the batch's shared content region before transfer
-        min_dh = min(m[3] for m in metas)
-        min_dw = min(m[2] for m in metas)
-        rows, counts, masks_u8, boxes, scores, valid = outputs
-        masks_u8 = masks_u8[:, : size - min_dh, : size - min_dw]
-        outputs = (rows, counts, masks_u8, boxes, scores, valid)
+        rows, counts, masks_out, boxes, scores, valid, masks_full = self._infer(
+            self.variables, device_batch
+        )
+        if self.mask_transfer != "packed":
+            # crop masks to the batch's shared content region before transfer
+            min_dh = min(m[3] for m in metas)
+            min_dw = min(m[2] for m in metas)
+            masks_out = masks_out[:, : size - min_dh, : size - min_dw]
+        outputs = (rows, counts, masks_out, boxes, scores, valid)
         # start the device->host copies without blocking
         for o in jax.tree_util.tree_leaves(outputs):
             o.copy_to_host_async()
-        return outputs, metas, list(pages)
+        # device-resident extras for the on-device refinement stage
+        extras = (device_batch, masks_full) if self.refine_backend == "device" else None
+        return outputs, metas, list(pages), extras
 
     def collect(
         self,
@@ -134,9 +152,9 @@ class BatchTextDetector:
         refine_mode: int = C.REFINEMASK_INPAINT,
         keep_undetected_mask: bool = False,
     ) -> List[Tuple[np.ndarray, np.ndarray, list]]:
-        outputs, metas, pages = ticket
+        outputs, metas, pages, extras = ticket
         size = self.size
-        rows, counts, masks_u8, dboxes, dscores, dvalid = jax.device_get(outputs)
+        rows, counts, masks_out, dboxes, dscores, dvalid = jax.device_get(outputs)
         out = []
         for i, page in enumerate(pages):
             im_h, im_w, dw, dh = metas[i]
@@ -152,8 +170,13 @@ class BatchTextDetector:
             if len(scores):
                 keep = scores > self.box_thresh
                 lines, scores = lines[keep], scores[keep]
-            mask = masks_u8[i][: size - dh, : size - dw]
-            mask = resize_bilinear_fast(mask, (im_h, im_w))
+            if self.mask_transfer == "packed":
+                bits = np.unpackbits(masks_out[i], axis=-1)[: size - dh, : size - dw]
+                mask = resize_bilinear_fast(bits * np.uint8(255), (im_h, im_w))
+                mask = np.where(mask > 127, np.uint8(255), np.uint8(0))
+            else:
+                mask = masks_out[i][: size - dh, : size - dw]
+                mask = resize_bilinear_fast(mask, (im_h, im_w))
             if lines.size == 0:
                 lines = []
             else:
@@ -162,11 +185,47 @@ class BatchTextDetector:
                 lines[..., 1] *= resize_ratio[1]
                 lines = lines.astype(np.int32)
             blk_list = group_output(blks, lines, im_w, im_h, mask)
-            mask_refined = refine_mask(page, mask, blk_list, refine_mode=refine_mode)
-            if keep_undetected_mask:
-                mask_refined = refine_undetected_mask(page, mask, mask_refined, blk_list, refine_mode)
+            if self.refine_backend == "device":
+                mask_refined = self._refine_on_device(
+                    extras[0][i], extras[1][i], blk_list, page.shape, resize_ratio,
+                    dw, dh, refine_mode,
+                )
+            else:
+                mask_refined = refine_mask(page, mask, blk_list, refine_mode=refine_mode)
+                if keep_undetected_mask:
+                    mask_refined = refine_undetected_mask(
+                        page, mask, mask_refined, blk_list, refine_mode
+                    )
             out.append((mask, mask_refined, blk_list))
         return out
+
+    def _refine_on_device(self, lb_u8, mask_full, blk_list, img_shape, resize_ratio, dw, dh, refine_mode):
+        """Batched on-device window refinement for one page (see
+        TextDetector._refine_on_device)."""
+        from comic_text_detector_tpu.ops.refine import refine_page
+        from comic_text_detector_tpu.pipeline.detector import _pack_canvas
+        from comic_text_detector_tpu.utils.imgproc import expand_textwindow
+
+        size = self.size
+        im_h, im_w = img_shape[:2]
+        content_w, content_h = size - dw, size - dh
+
+        def to_lb(box):
+            x1, y1, x2, y2 = box
+            x1 = int(np.floor(x1 / resize_ratio[0]))
+            y1 = int(np.floor(y1 / resize_ratio[1]))
+            x2 = int(np.ceil(x2 / resize_ratio[0]))
+            y2 = int(np.ceil(y2 / resize_ratio[1]))
+            x1, y1 = max(0, min(x1, content_w - 1)), max(0, min(y1, content_h - 1))
+            x2, y2 = max(x1 + 1, min(x2, content_w)), max(y1 + 1, min(y2, content_h))
+            return [x1, y1, x2, y2]
+
+        windows = [to_lb(expand_textwindow(img_shape, blk.xyxy, expand_r=16)) for blk in blk_list]
+        canvas = refine_page(lb_u8, mask_full, np.asarray(windows).reshape(-1, 4), refine_mode)
+        packed = np.asarray(jax.device_get(_pack_canvas(canvas)))
+        canvas_host = np.unpackbits(packed, axis=-1) * np.uint8(255)
+        refined = resize_bilinear_fast(canvas_host[:content_h, :content_w], (im_h, im_w))
+        return np.where(refined > 127, np.uint8(255), np.uint8(0))
 
     def process_batch(
         self,

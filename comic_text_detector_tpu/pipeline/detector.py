@@ -91,7 +91,21 @@ class TextDetector:
         variables=None,
         cfg: Optional[dict] = None,
         compute_dtype=None,
+        refine_backend: str = "host",
+        mask_transfer: str = "grey",
     ):
+        # refine_backend: 'host' = the reference-parity CPU refine_mask;
+        # 'device' = batched TPU window refinement (ops/refine.py) at
+        # letterbox resolution — the throughput configuration.
+        # mask_transfer: 'grey' downloads the full grey mask (API parity);
+        # 'packed' downloads a 1-bpp binarized (>30) mask — 8x fewer bytes
+        # over remote-attached links; the returned mask is then 0/255.
+        # Packed mode requires the device refine (the host refine needs the
+        # grey values).
+        self.refine_backend = refine_backend
+        self.mask_transfer = mask_transfer
+        if mask_transfer == "packed" and refine_backend != "device":
+            raise ValueError("mask_transfer='packed' requires refine_backend='device'")
         if isinstance(input_size, tuple):
             input_size = input_size[0]
         self.input_size = (input_size, input_size)
@@ -168,27 +182,34 @@ class TextDetector:
         size = self.input_size[0]
 
         @functools.lru_cache(maxsize=64)
+        def lb_for(h, w):
+            from comic_text_detector_tpu.ops.resize import letterbox_device_u8
+
+            return jax.jit(lambda img_u8: letterbox_device_u8(img_u8, size))
+
+        @functools.lru_cache(maxsize=64)
         def compiled_for(h, w):
-            nh, nw, dw, dh, _ = letterbox_shape(h, w, size)
+            _nh, _nw, dw, dh, _ = letterbox_shape(h, w, size)
 
             @jax.jit
-            def run(variables, img_u8):
-                x = resize_bilinear(img_u8.astype(jnp.float32), (nh, nw))
-                x = jnp.clip(jnp.round(x), 0, 255)
-                x = jnp.pad(x, ((0, dh), (0, dw), (0, 0))) / 255.0
+            def run(variables, lb_u8):
+                x = lb_u8.astype(jnp.float32) / 255.0
                 blks, mask, lines = self._apply(variables, x[None])
                 rows, count = nms_single(
                     blks[0].astype(jnp.float32), self.conf_thresh, self.nms_thresh
                 )
-                mask_u8 = (mask[0, : size - dh, : size - dw, 0].astype(jnp.float32) * 255.0).astype(
-                    jnp.uint8
-                )
+                mask_full = (mask[0, :, :, 0].astype(jnp.float32) * 255.0).astype(jnp.uint8)
+                if self.mask_transfer == "packed":
+                    mask_out = jnp.packbits(mask_full[: size - dh] > 30, axis=-1)
+                else:
+                    mask_out = mask_full[: size - dh, : size - dw]
                 shrink = lines[0, :, :, 0].astype(jnp.float32)
                 boxes, scores, valid = db_decode_full_device(shrink, self.db_thresh)
-                return rows, count, mask_u8, boxes, scores, valid
+                return rows, count, mask_out, boxes, scores, valid, mask_full
 
             return run
 
+        self._lb = lb_for
         return compiled_for
 
     # --- public API ---
@@ -203,8 +224,10 @@ class TextDetector:
         size = self.input_size[0]
         _, _, dw, dh, _ = letterbox_shape(im_h, im_w, size)
 
-        out = self._infer(im_h, im_w)(self.variables, jnp.asarray(img))
-        rows, count, mask_u8, dboxes, dscores, dvalid = jax.device_get(out)
+        lb_u8 = self._lb(im_h, im_w)(jnp.asarray(img))  # stays device-resident
+        out = self._infer(im_h, im_w)(self.variables, lb_u8)
+        rows, count, mask_out, dboxes, dscores, dvalid = jax.device_get(out[:6])
+        mask_full = out[6]  # device-resident, no transfer
 
         resize_ratio = (im_w / (size - dw), im_h / (size - dh))
         blks = self._postprocess_yolo(rows, int(count), resize_ratio)
@@ -215,7 +238,12 @@ class TextDetector:
             lines, scores = lines[keep], scores[keep]
 
         # map outputs back to the original page (mask comes cropped from device)
-        mask = resize_bilinear_fast(mask_u8, (im_h, im_w))
+        if self.mask_transfer == "packed":
+            bits = np.unpackbits(mask_out, axis=-1)[:, : size - dw]
+            mask = resize_bilinear_fast(bits * np.uint8(255), (im_h, im_w))
+            mask = np.where(mask > 127, np.uint8(255), np.uint8(0))
+        else:
+            mask = resize_bilinear_fast(mask_out, (im_h, im_w))
         if lines.size == 0:
             lines = []
         else:
@@ -225,12 +253,88 @@ class TextDetector:
             lines = lines.astype(np.int32)
 
         blk_list = group_output(blks, lines, im_w, im_h, mask)
-        mask_refined = refine_mask(img, mask, blk_list, refine_mode=refine_mode)
-        if keep_undetected_mask:
-            mask_refined = refine_undetected_mask(
-                img, mask, mask_refined, blk_list, refine_mode=refine_mode
+        if self.refine_backend == "device":
+            mask_refined = self._refine_on_device(
+                lb_u8, mask_full, blk_list, img.shape, resize_ratio, dw, dh, refine_mode,
+                mask if keep_undetected_mask else None,
             )
+        else:
+            mask_refined = refine_mask(img, mask, blk_list, refine_mode=refine_mode)
+            if keep_undetected_mask:
+                mask_refined = refine_undetected_mask(
+                    img, mask, mask_refined, blk_list, refine_mode=refine_mode
+                )
         return mask, mask_refined, blk_list
+
+    def _refine_on_device(
+        self, lb_u8, mask_full, blk_list, img_shape, resize_ratio, dw, dh, refine_mode,
+        undetected_mask=None,
+    ) -> np.ndarray:
+        """TPU refine path: expand windows on the original-page frame (like
+        the reference), map them into letterbox coords, refine all blocks in
+        one batched dispatch, and resize the binary canvas back."""
+        from comic_text_detector_tpu.ops.refine import refine_page
+        from comic_text_detector_tpu.utils.imgproc import expand_textwindow
+
+        size = self.input_size[0]
+        im_h, im_w = img_shape[:2]
+        content_w, content_h = size - dw, size - dh
+
+        def to_lb(box):
+            x1, y1, x2, y2 = box
+            x1 = int(np.floor(x1 / resize_ratio[0]))
+            y1 = int(np.floor(y1 / resize_ratio[1]))
+            x2 = int(np.ceil(x2 / resize_ratio[0]))
+            y2 = int(np.ceil(y2 / resize_ratio[1]))
+            x1, y1 = max(0, min(x1, content_w - 1)), max(0, min(y1, content_h - 1))
+            x2, y2 = max(x1 + 1, min(x2, content_w)), max(y1 + 1, min(y2, content_h))
+            return [x1, y1, x2, y2]
+
+        windows = [
+            to_lb(expand_textwindow(img_shape, blk.xyxy, expand_r=16)) for blk in blk_list
+        ]
+        canvas = refine_page(lb_u8, mask_full, np.asarray(windows).reshape(-1, 4), refine_mode)
+
+        def download_canvas(c) -> np.ndarray:
+            # binary canvas ships 1 bpp (8x fewer bytes over the tunnel)
+            packed = np.asarray(jax.device_get(_pack_canvas(c)))
+            return np.unpackbits(packed, axis=-1) * np.uint8(255)
+
+        if undetected_mask is not None:
+            # rescue raw-mask components no block covers (reference
+            # textmask.py:135-156) — CC on the host copy, refine on device
+            rescue_mask = undetected_mask.copy()
+            canvas_host = download_canvas(canvas)
+            refined_orig = resize_bilinear_fast(
+                canvas_host[:content_h, :content_w], (im_h, im_w)
+            )
+            rescue_mask[refined_orig > 30] = 0
+            # exclude already-refined areas from the rescue pred too
+            mask_full = jnp.where(canvas > 30, jnp.uint8(0), mask_full)
+            from comic_text_detector_tpu.utils.imgproc import (
+                connected_components_with_stats,
+                threshold_binary,
+                intersect_area,
+            )
+
+            pred_t = threshold_binary(rescue_mask, 30)
+            n, _labels, stats, _c = connected_components_with_stats(pred_t, 4)
+            boxes = []
+            for li in range(1, n):
+                x, y, w, h, area = stats[li]
+                if area <= 50:
+                    continue
+                bbox = [x, y, x + w, y + h]
+                best = max((intersect_area(blk.xyxy, bbox) for blk in blk_list), default=-1)
+                if best / w / h < 0.5:
+                    boxes.append(to_lb(expand_textwindow(img_shape, bbox, expand_r=16)))
+            if boxes:
+                extra = refine_page(lb_u8, mask_full, np.asarray(boxes), refine_mode)
+                canvas = jnp.bitwise_or(canvas, extra)
+
+        canvas_host = download_canvas(canvas)
+        refined = resize_bilinear_fast(canvas_host[:content_h, :content_w], (im_h, im_w))
+        return np.where(refined > 127, np.uint8(255), np.uint8(0))
 
     def _postprocess_yolo(self, rows: np.ndarray, count: int, resize_ratio):
         return postprocess_yolo(rows, count, resize_ratio)
@@ -253,3 +357,8 @@ class TextDetector:
         with open(path, "rb") as f:
             variables = ser.from_bytes(template, f.read())
         return cls(variables=variables, input_size=input_size, act=act, **kw)
+
+
+@jax.jit
+def _pack_canvas(canvas: jax.Array) -> jax.Array:
+    return jnp.packbits(canvas > 0, axis=-1)

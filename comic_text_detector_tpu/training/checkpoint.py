@@ -55,13 +55,19 @@ def save_compact(path: str, variables: Any, dtype="float16") -> None:
 
     flat: Dict[str, Any] = {}
 
+    f16_max = np.finfo(np.float16).max
+
     def walk(node, prefix):
         if isinstance(node, dict):
             for k, v in node.items():
                 walk(v, f"{prefix}/{k}" if prefix else k)
         else:
             arr = np.asarray(jax.device_get(node))
-            flat[prefix] = arr.astype(dtype) if arr.dtype.kind == "f" else arr
+            if arr.dtype.kind == "f":
+                # keep wide-range arrays (e.g. large BN running vars) exact
+                if np.abs(arr).max(initial=0.0) < 0.9 * f16_max:
+                    arr = arr.astype(dtype)
+            flat[prefix] = arr
 
     walk(variables, "")
     with open(path, "wb") as f:
