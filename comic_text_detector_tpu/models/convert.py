@@ -277,3 +277,129 @@ def load_from_parts(blk_path: str, seg_path: str, det_path: str) -> Tuple[Dict, 
         "text_det": load_torch_file(det_path),
     }
     return convert_combined_checkpoint(ckpt)
+
+
+# --- inverse conversion: variables -> torch checkpoint --------------------------
+#
+# Lets a checkpoint trained in THIS framework run in the reference (and
+# powers same-weights golden-parity tests): the exact inverse of
+# convert_state_dict / _translate_tokens.
+
+_SEQ_PARENTS = ("conv", "binarize", "thresh", "shortcut")
+
+
+def _untranslate_tokens(path: Tuple[str, ...]) -> Tuple[str, ...]:
+    """flax module path -> torch module path (inverse of _translate_tokens)."""
+    out = []
+    for i, t in enumerate(path):
+        prev = out[-1] if out else None
+        if t.startswith("model_"):
+            out += ["model", t[len("model_"):]]
+        elif t.startswith("m_"):
+            out += ["m", t[len("m_"):]]
+        elif t.startswith("tr_"):
+            out += ["tr", t[len("tr_"):]]
+        elif t.startswith("seq") and t[3:].isdigit() and prev in _SEQ_PARENTS:
+            out.append(t[3:])
+        elif t == "c3" and prev == "down_conv1":
+            out.append("conv")
+        elif t == "c3" and prev is not None and prev.startswith("upconv"):
+            out += ["conv", "0"]
+        elif t == "up" and prev is not None and prev.startswith("upconv"):
+            out += ["conv", "1"]
+        elif t == "bn" and prev is not None and prev.startswith("upconv"):
+            out += ["conv", "2"]
+        else:
+            out.append(t)
+    return tuple(out)
+
+
+def _is_convt_path(torch_key: str) -> bool:
+    return bool(_CONVT_RE.search(torch_key))
+
+
+def export_state_dict(params: Mapping[str, Any], stats: Mapping[str, Any]) -> Dict[str, Any]:
+    """One subnet's flax trees -> a torch-layout state dict (numpy values,
+    incl. num_batches_tracked zeros so strict load_state_dict passes)."""
+    import numpy as _np
+
+    sd: Dict[str, Any] = {}
+
+    def walk_params(node, path):
+        for k, v in node.items():
+            if isinstance(v, Mapping):
+                walk_params(v, path + (k,))
+                continue
+            arr = _np.asarray(v)
+            tpath = _untranslate_tokens(path)
+            prefix = ".".join(tpath)
+            if k == "kernel":
+                if arr.ndim == 4:
+                    key = prefix + ".weight"
+                    if _is_convt_path(key):
+                        # flipped HWIO -> torch (I, O, kh, kw)
+                        sd[key] = _np.transpose(arr[::-1, ::-1], (2, 3, 0, 1)).copy()
+                    else:
+                        sd[key] = _np.transpose(arr, (3, 2, 0, 1)).copy()  # HWIO->OIHW
+                else:
+                    sd[prefix + ".weight"] = arr
+            elif k == "scale":
+                sd[prefix + ".weight"] = arr
+            elif k in ("bias", "in_proj_weight", "in_proj_bias"):
+                sd[prefix + ("." + k if k != "bias" else ".bias")] = arr
+            else:
+                raise ValueError(f"unhandled param leaf {path + (k,)}")
+
+    def walk_stats(node, path):
+        for k, v in node.items():
+            if isinstance(v, Mapping):
+                walk_stats(v, path + (k,))
+                continue
+            arr = _np.asarray(v)
+            prefix = ".".join(_untranslate_tokens(path))
+            if k == "mean":
+                sd[prefix + ".running_mean"] = arr
+            elif k == "var":
+                sd[prefix + ".running_var"] = arr
+                sd[prefix + ".num_batches_tracked"] = _np.asarray(0, _np.int64)
+            else:
+                raise ValueError(f"unhandled stats leaf {path + (k,)}")
+
+    walk_params(_to_plain(params), ())
+    walk_stats(_to_plain(stats), ())
+    return sd
+
+
+def export_torch_checkpoint(variables: Mapping[str, Any], cfg: dict | None = None) -> Dict[str, Any]:
+    """TextDetBase variables -> the reference's combined deploy checkpoint
+    (utils/export.py:23-28 layout), as torch tensors.
+
+    The blk_det side carries the cfg yaml + the Detect anchors/anchor_grid
+    buffers the reference Model registers.
+    """
+    import numpy as _np
+    import torch
+
+    from comic_text_detector_tpu.config import YOLOV5S_CFG, parse_graph
+
+    cfg = cfg or YOLOV5S_CFG
+    spec = parse_graph(cfg)
+    out = {}
+    for subnet in ("blk_det", "text_seg", "text_det"):
+        sd = export_state_dict(variables["params"][subnet], variables["batch_stats"][subnet])
+        out[subnet] = {k: torch.from_numpy(_np.ascontiguousarray(v)) for k, v in sd.items()}
+
+    detect_idx = max(ls.index for ls in spec.layers)
+    anchors = _np.asarray(spec.anchors, _np.float32).reshape(len(spec.anchors), -1, 2)
+    strides = _np.asarray(spec.strides, _np.float32)
+    out["blk_det"][f"model.{detect_idx}.anchors"] = torch.from_numpy(
+        anchors / strides[:, None, None]
+    )
+    out["blk_det"][f"model.{detect_idx}.anchor_grid"] = torch.from_numpy(
+        anchors.reshape(len(spec.anchors), 1, -1, 1, 1, 2).copy()
+    )
+    return {
+        "blk_det": {"cfg": cfg, "weights": out["blk_det"]},
+        "text_seg": out["text_seg"],
+        "text_det": out["text_det"],
+    }

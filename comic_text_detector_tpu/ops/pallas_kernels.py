@@ -146,23 +146,27 @@ def _shift_with_fill(x: jax.Array, s: int, axis: int, fill) -> jax.Array:
 
 def _segmented_min_sweep(v: jax.Array, m: jax.Array, axis: int, reverse: bool) -> jax.Array:
     """In-VMEM segmented min-scan along ``axis``: each foreground pixel ends
-    with the min over its full connected run.  (gate=False, v=BIG) is the
-    shift-in boundary element, which the scan operator absorbs exactly."""
+    with the min over its full connected run.  (gate=0, v=BIG) is the
+    shift-in boundary element, which the scan operator absorbs exactly.
+
+    Gates are int32 0/1 (Mosaic rejects concatenating i1 vector registers),
+    combined with multiply instead of logical and.
+    """
     n = v.shape[axis]
     sgn = -1 if reverse else 1
-    g = m & _shift_with_fill(m, sgn, axis, False)
+    g = m * _shift_with_fill(m, sgn, axis, 0)
     s = 1
     while s < n:
         vp = _shift_with_fill(v, sgn * s, axis, _CC_BIG)
-        gp = _shift_with_fill(g, sgn * s, axis, False)
-        v = jnp.where(g, jnp.minimum(v, vp), v)
-        g = g & gp
+        gp = _shift_with_fill(g, sgn * s, axis, 0)
+        v = jnp.where(g > 0, jnp.minimum(v, vp), v)
+        g = g * gp
         s *= 2
     return v
 
 
 def _scan_kernel(axis: int, l_ref, m_ref, o_ref):
-    m = m_ref[:] != 0
+    m = (m_ref[:] != 0).astype(jnp.int32)
     l = _segmented_min_sweep(l_ref[:], m, axis=axis, reverse=False)
     o_ref[:] = _segmented_min_sweep(l, m, axis=axis, reverse=True)
 

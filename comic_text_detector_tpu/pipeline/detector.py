@@ -224,7 +224,8 @@ class TextDetector:
         size = self.input_size[0]
         _, _, dw, dh, _ = letterbox_shape(im_h, im_w, size)
 
-        lb_u8 = self._lb(im_h, im_w)(jnp.asarray(img))  # stays device-resident
+        img_dev = jnp.asarray(img)  # one upload serves letterbox AND refine
+        lb_u8 = self._lb(im_h, im_w)(img_dev)  # stays device-resident
         out = self._infer(im_h, im_w)(self.variables, lb_u8)
         rows, count, mask_out, dboxes, dscores, dvalid = jax.device_get(out[:6])
         mask_full = out[6]  # device-resident, no transfer
@@ -255,7 +256,7 @@ class TextDetector:
         blk_list = group_output(blks, lines, im_w, im_h, mask)
         if self.refine_backend == "device":
             mask_refined = self._refine_on_device(
-                lb_u8, mask_full, blk_list, img.shape, resize_ratio, dw, dh, refine_mode,
+                img_dev, mask_full, blk_list, img.shape, dw, dh, refine_mode,
                 mask if keep_undetected_mask else None,
             )
         else:
@@ -267,50 +268,39 @@ class TextDetector:
         return mask, mask_refined, blk_list
 
     def _refine_on_device(
-        self, lb_u8, mask_full, blk_list, img_shape, resize_ratio, dw, dh, refine_mode,
+        self, img_dev, mask_full, blk_list, img_shape, dw, dh, refine_mode,
         undetected_mask=None,
     ) -> np.ndarray:
-        """TPU refine path: expand windows on the original-page frame (like
-        the reference), map them into letterbox coords, refine all blocks in
-        one batched dispatch, and resize the binary canvas back."""
+        """TPU refine path at ORIGINAL page resolution: the original image is
+        already device-resident (it fed the device letterbox), the raw mask
+        upsamples on device, and all block windows refine in one batched
+        dispatch.  Windows match the reference's exactly, so sub-256px
+        windows are bit-exact against the host merge."""
         from comic_text_detector_tpu.ops.refine import refine_page
         from comic_text_detector_tpu.utils.imgproc import expand_textwindow
 
         size = self.input_size[0]
         im_h, im_w = img_shape[:2]
         content_w, content_h = size - dw, size - dh
+        mask_dev = _upsample_mask(mask_full, content_h, content_w, (im_h, im_w))
 
-        def to_lb(box):
-            x1, y1, x2, y2 = box
-            x1 = int(np.floor(x1 / resize_ratio[0]))
-            y1 = int(np.floor(y1 / resize_ratio[1]))
-            x2 = int(np.ceil(x2 / resize_ratio[0]))
-            y2 = int(np.ceil(y2 / resize_ratio[1]))
-            x1, y1 = max(0, min(x1, content_w - 1)), max(0, min(y1, content_h - 1))
-            x2, y2 = max(x1 + 1, min(x2, content_w)), max(y1 + 1, min(y2, content_h))
-            return [x1, y1, x2, y2]
-
-        windows = [
-            to_lb(expand_textwindow(img_shape, blk.xyxy, expand_r=16)) for blk in blk_list
-        ]
-        canvas = refine_page(lb_u8, mask_full, np.asarray(windows).reshape(-1, 4), refine_mode)
+        windows = [expand_textwindow(img_shape, blk.xyxy, expand_r=16) for blk in blk_list]
+        canvas = refine_page(img_dev, mask_dev, np.asarray(windows).reshape(-1, 4), refine_mode)
 
         def download_canvas(c) -> np.ndarray:
-            # binary canvas ships 1 bpp (8x fewer bytes over the tunnel)
+            # binary canvas ships 1 bpp (8x fewer bytes over the tunnel);
+            # packbits pads the row tail, crop back to im_w
             packed = np.asarray(jax.device_get(_pack_canvas(c)))
-            return np.unpackbits(packed, axis=-1) * np.uint8(255)
+            return (np.unpackbits(packed, axis=-1) * np.uint8(255))[:, :im_w]
 
         if undetected_mask is not None:
             # rescue raw-mask components no block covers (reference
             # textmask.py:135-156) — CC on the host copy, refine on device
             rescue_mask = undetected_mask.copy()
-            canvas_host = download_canvas(canvas)
-            refined_orig = resize_bilinear_fast(
-                canvas_host[:content_h, :content_w], (im_h, im_w)
-            )
+            refined_orig = download_canvas(canvas)
             rescue_mask[refined_orig > 30] = 0
             # exclude already-refined areas from the rescue pred too
-            mask_full = jnp.where(canvas > 30, jnp.uint8(0), mask_full)
+            mask_dev = jnp.where(canvas > 30, jnp.uint8(0), mask_dev)
             from comic_text_detector_tpu.utils.imgproc import (
                 connected_components_with_stats,
                 threshold_binary,
@@ -327,14 +317,12 @@ class TextDetector:
                 bbox = [x, y, x + w, y + h]
                 best = max((intersect_area(blk.xyxy, bbox) for blk in blk_list), default=-1)
                 if best / w / h < 0.5:
-                    boxes.append(to_lb(expand_textwindow(img_shape, bbox, expand_r=16)))
+                    boxes.append(expand_textwindow(img_shape, bbox, expand_r=16))
             if boxes:
-                extra = refine_page(lb_u8, mask_full, np.asarray(boxes), refine_mode)
+                extra = refine_page(img_dev, mask_dev, np.asarray(boxes), refine_mode)
                 canvas = jnp.bitwise_or(canvas, extra)
 
-        canvas_host = download_canvas(canvas)
-        refined = resize_bilinear_fast(canvas_host[:content_h, :content_w], (im_h, im_w))
-        return np.where(refined > 127, np.uint8(255), np.uint8(0))
+        return download_canvas(canvas)
 
     def _postprocess_yolo(self, rows: np.ndarray, count: int, resize_ratio):
         return postprocess_yolo(rows, count, resize_ratio)
@@ -362,3 +350,11 @@ class TextDetector:
 @jax.jit
 def _pack_canvas(canvas: jax.Array) -> jax.Array:
     return jnp.packbits(canvas > 0, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _upsample_mask(mask_full: jax.Array, content_h: int, content_w: int, out_hw) -> jax.Array:
+    """Device analog of the host mask un-letterbox (crop pad + bilinear
+    resize to the original page, inference.py:164-172)."""
+    m = resize_bilinear(mask_full[:content_h, :content_w].astype(jnp.float32), out_hw)
+    return jnp.clip(jnp.round(m), 0, 255).astype(jnp.uint8)

@@ -556,6 +556,10 @@ def _assign_lines_to_blocks(lines: Sequence[np.ndarray],
 
 def _mask_density(mask: Optional[np.ndarray], box) -> float:
     x1, y1, x2, y2 = (int(v) for v in box)
+    if x2 <= x1 or y2 <= y1:
+        # the reference's empty-crop mean is NaN, whose `< thresh` veto test
+        # is False — i.e. degenerate boxes are never vetoed; keep that
+        return float("nan")
     return float(mask[y1:y2, x1:x2].mean()) / 255
 
 
