@@ -309,6 +309,11 @@ def _untranslate_tokens(path: Tuple[str, ...]) -> Tuple[str, ...]:
             out += ["conv", "1"]
         elif t == "bn" and prev is not None and prev.startswith("upconv"):
             out += ["conv", "2"]
+        elif t == "upconv6":
+            # UnetHead.upconv6 = Sequential(ConvT, Sigmoid) (basemodel.py:57):
+            # the bare flax ConvT maps to torch index 0 — the '.0' also makes
+            # the key match _CONVT_RE so the kernel gets the ConvT layout
+            out += ["upconv6", "0"]
         else:
             out.append(t)
     return tuple(out)
@@ -374,8 +379,11 @@ def export_torch_checkpoint(variables: Mapping[str, Any], cfg: dict | None = Non
     """TextDetBase variables -> the reference's combined deploy checkpoint
     (utils/export.py:23-28 layout), as torch tensors.
 
-    The blk_det side carries the cfg yaml + the Detect anchors/anchor_grid
-    buffers the reference Model registers.
+    The blk_det side carries the cfg yaml + the Detect ``anchors`` buffer.
+    ``anchor_grid`` must NOT be emitted: the reference's Detect keeps it as a
+    plain list attribute (yolo.py:18), so ``load_yolov5_ckpt``'s fresh
+    ``Model(cfg).load_state_dict(weights, strict=True)`` (yolo.py:291-292)
+    rejects the key.
     """
     import numpy as _np
     import torch
@@ -394,9 +402,6 @@ def export_torch_checkpoint(variables: Mapping[str, Any], cfg: dict | None = Non
     strides = _np.asarray(spec.strides, _np.float32)
     out["blk_det"][f"model.{detect_idx}.anchors"] = torch.from_numpy(
         anchors / strides[:, None, None]
-    )
-    out["blk_det"][f"model.{detect_idx}.anchor_grid"] = torch.from_numpy(
-        anchors.reshape(len(spec.anchors), 1, -1, 1, 1, 2).copy()
     )
     return {
         "blk_det": {"cfg": cfg, "weights": out["blk_det"]},
