@@ -92,10 +92,35 @@ class TextDetTrain(nn.Module):
         return DBHead(64, act=self.act, dtype=self.dtype, name="dbnet")(*feats, train=train)
 
 
+class BlkDetTrain(nn.Module):
+    """Train-time block detector: the FULL yolo graph (backbone + neck +
+    Detect) under the deploy name ``blk_det`` so trained params transplant
+    directly into the inference checkpoint.
+
+    The reference trains its yolov5 externally (no in-repo trainer); this
+    module + training/yolo_loss.py + training/yolo_trainer.py complete the
+    3-head training story inside the framework.  ``decode=False`` returns
+    the raw per-level (B, na, h, w, no) maps the loss consumes.
+    """
+
+    spec: GraphSpec  # full graph spec (config.full_spec())
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, decode: bool = False):
+        return YoloGraph(
+            spec=self.spec, out_indices=OUT_INDICES, act="silu", dtype=self.dtype, name="blk_det"
+        )(x.astype(self.dtype), train=train, detect=True, decode=decode)
+
+
 def build_inference_model(
     cfg: Optional[dict] = None, act: str = "leaky", dtype: Dtype = jnp.float32
 ) -> TextDetBase:
     return TextDetBase(spec=full_spec(cfg), act=act, dtype=dtype)
+
+
+def build_blk_train_model(cfg: Optional[dict] = None, dtype: Dtype = jnp.float32) -> BlkDetTrain:
+    return BlkDetTrain(spec=full_spec(cfg), dtype=dtype)
 
 
 def build_train_model(

@@ -135,6 +135,70 @@ def make_db_train_step(model, tx: optax.GradientTransformation, use_bce: bool = 
     return step
 
 
+def create_yolo_train_state(variables: Dict, tx: optax.GradientTransformation) -> TrainState:
+    """Whole-graph detection training (backbone + neck + Detect trainable)."""
+    return _split_state(variables, tx, ("blk_det",))
+
+
+def make_yolo_train_step(model, tx: optax.GradientTransformation, spec, gains: Optional[Dict] = None) -> Callable:
+    """Detection training step: v5 loss over the raw Detect maps with
+    in-graph dense target assignment (training/yolo_loss.py)."""
+    from comic_text_detector_tpu.training.yolo_loss import yolo_loss
+
+    g = gains or {}
+
+    @jax.jit
+    def step(state: TrainState, imgs: jax.Array, labels: jax.Array, label_mask: jax.Array):
+        def loss_fn(trainable):
+            params = {**state.frozen, **trainable}
+            (raw, _z), new_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs,
+                train=True,
+                decode=False,
+                mutable=["batch_stats"],
+            )
+            metrics = yolo_loss(
+                raw, labels, label_mask, spec.anchors, spec.strides, spec.nc,
+                box_gain=g.get("box", 0.05), obj_gain=g.get("obj", 1.0), cls_gain=g.get("cls", 0.3),
+            )
+            return metrics["loss"], (new_state["batch_stats"], metrics)
+
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                params=new_params, batch_stats=new_stats, opt_state=new_opt, step=state.step + 1
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_yolo_eval_step(model, spec, gains: Optional[Dict] = None) -> Callable:
+    from comic_text_detector_tpu.training.yolo_loss import yolo_loss
+
+    g = gains or {}
+
+    @jax.jit
+    def step(state: TrainState, imgs: jax.Array, labels: jax.Array, label_mask: jax.Array):
+        params = {**state.frozen, **state.params}
+        raw, _z = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            imgs,
+            train=False,
+            decode=False,
+        )
+        return yolo_loss(
+            raw, labels, label_mask, spec.anchors, spec.strides, spec.nc,
+            box_gain=g.get("box", 0.05), obj_gain=g.get("obj", 1.0), cls_gain=g.get("cls", 0.3),
+        )
+
+    return step
+
+
 def make_db_eval_step(model) -> Callable:
     @jax.jit
     def step(state: TrainState, imgs: jax.Array):
