@@ -40,7 +40,9 @@ class BlkDataset:
         augment: bool = False,
         aug_param: Optional[dict] = None,
         seed: int = 0,
+        as_uint8: bool = False,
     ):
+        self.as_uint8 = as_uint8  # uint8 RGB upload, device-side /255
         dirs = [img_dir] if isinstance(img_dir, str) else list(img_dir)
         self._augment = augment
         ap = aug_param or {}
@@ -109,7 +111,10 @@ class BlkDataset:
         out_labels[:n] = labels[:n]
         out_mask[:n] = True
         # training color contract matches the seg loader: RGB/255
-        img = img[:, :, ::-1].astype(np.float32) / 255.0
+        if self.as_uint8:
+            img = np.ascontiguousarray(img[:, :, ::-1])
+        else:
+            img = img[:, :, ::-1].astype(np.float32) / 255.0
         return img, out_labels, out_mask
 
 
@@ -121,7 +126,11 @@ def create_dataloader(
     aug_param: Optional[dict] = None,
     shuffle: bool = True,
     seed: int = 0,
+    as_uint8: bool = False,
 ):
-    ds = BlkDataset(img_dir, img_size=img_size, augment=augment, aug_param=aug_param, seed=seed)
+    ds = BlkDataset(
+        img_dir, img_size=img_size, augment=augment, aug_param=aug_param, seed=seed,
+        as_uint8=as_uint8,
+    )
     loader = PrefetchLoader(ds, batch_size, shuffle=shuffle, seed=seed)
     return ds, loader

@@ -35,7 +35,9 @@ class DBDataset:
         stride: int = 128,
         with_ann: bool = False,
         seed: int = 0,
+        as_uint8: bool = False,
     ):
+        self.as_uint8 = as_uint8  # uint8 RGB upload, device-side /255
         self.img_dir = [img_dir] if isinstance(img_dir, str) else list(img_dir)
         if not ann_dir:
             self.ann_dir = self.img_dir
@@ -163,7 +165,10 @@ class DBDataset:
         if self.with_ann:
             data["text_polys"] = np.array(tp)
             data["ignore_tags"] = np.array(it)
-        data["imgs"] = data["imgs"][:, :, ::-1].astype(np.float32) / 255.0  # RGB/255
+        if self.as_uint8:
+            data["imgs"] = np.ascontiguousarray(data["imgs"][:, :, ::-1])  # RGB uint8
+        else:
+            data["imgs"] = data["imgs"][:, :, ::-1].astype(np.float32) / 255.0  # RGB/255
         return data
 
 
@@ -178,7 +183,10 @@ def create_dataloader(
     workers: int = 2,
     shuffle: bool = False,
     with_ann: bool = False,
+    as_uint8: bool = False,
 ):
-    dataset = DBDataset(img_dir, ann_dir, imgsz, augment, aug_param, cache, with_ann=with_ann)
+    dataset = DBDataset(
+        img_dir, ann_dir, imgsz, augment, aug_param, cache, with_ann=with_ann, as_uint8=as_uint8
+    )
     loader = PrefetchLoader(dataset, batch_size, shuffle=shuffle, prefetch=max(2, workers))
     return dataset, loader

@@ -208,7 +208,7 @@ class TextBlockSampler:
     max_attempts: int = 25
     rng: random.Random = field(default_factory=lambda: random.Random(0))
 
-    def sample_block(self, page_bgr: np.ndarray):
+    def sample_block(self, page_bgr: np.ndarray, text_rgb: Optional[Tuple[int, int, int]] = None):
         # font size relative to the page so blocks fit arbitrary page sizes
         ph = page_bgr.shape[0]
         size = max(8, int(ph * self.rng.uniform(0.015, 0.05)))
@@ -218,10 +218,13 @@ class TextBlockSampler:
         rotation = (
             self.rng.uniform(*self.rotate_range) if self.rng.random() < self.rotate_prob else 0
         )
-        # probe a random region for adaptive color
-        h, w = page_bgr.shape[:2]
-        rx, ry = self.rng.randint(0, max(w - 64, 1)), self.rng.randint(0, max(h - 64, 1))
-        color = max_contrast_color(page_bgr[ry : ry + 64, rx : rx + 64], self.rng)
+        if text_rgb is None:
+            # probe a random region for adaptive color
+            h, w = page_bgr.shape[:2]
+            rx, ry = self.rng.randint(0, max(w - 64, 1)), self.rng.randint(0, max(h - 64, 1))
+            color = max_contrast_color(page_bgr[ry : ry + 64, rx : rx + 64], self.rng)
+        else:
+            color = text_rgb
         stroke_color = (255 - color[0], 255 - color[1], 255 - color[2])
         return draw_text_block(
             lines,
@@ -256,6 +259,7 @@ class ComicTextRenderer:
         font_dirs: Optional[Sequence[str]] = None,
         word_dict: Optional[str] = None,
         blocks_per_page: Tuple[int, int] = (2, 8),
+        bubble_prob: float = 0.5,
         seed: int = 0,
     ):
         rng = random.Random(seed)
@@ -264,6 +268,7 @@ class ComicTextRenderer:
         self.texts = TextLinesSampler(words=load_word_dict(word_dict), rng=rng)
         self.blocks = TextBlockSampler(self.fonts, self.texts, rng=rng)
         self.blocks_per_page = blocks_per_page
+        self.bubble_prob = bubble_prob
 
     def render_page(self, page_bgr: np.ndarray):
         """Returns dict(img BGR, mask uint8, blk_xyxy (K,4), line_polys (N,8))."""
@@ -274,21 +279,54 @@ class ComicTextRenderer:
         blk_xyxy: List[List[int]] = []
         all_polys: List[np.ndarray] = []
         n_blocks = self.rng.randint(*self.blocks_per_page)
+        draw = ImageDraw.Draw(page)
         for _ in range(n_blocks):
-            blk_img, blk_mask, polys = self.blocks.sample_block(page_bgr)
+            # speech bubbles: the dominant real-manga text carrier — a light
+            # ellipse/rounded-rect with a dark outline behind the block, with
+            # text color contrasted against the bubble fill
+            use_bubble = self.rng.random() < self.bubble_prob
+            text_rgb = None
+            if use_bubble:
+                tone = self.rng.randint(235, 255)
+                bubble_fill = (tone, tone, tone, 255)
+                text_rgb = max_contrast_color(
+                    np.full((1, 1, 3), tone, np.uint8), self.rng
+                )
+            blk_img, blk_mask, polys = self.blocks.sample_block(page_bgr, text_rgb=text_rgb)
             if blk_img is None:
                 continue
-            pos = self.blocks.place(placed, blk_img.width, blk_img.height, pw, ph)
+            if use_bubble:
+                # ellipse containment pad: (w/2a)^2 + (h/2b)^2 <= 1 with
+                # a = 0.75w, b = 0.75h
+                pad_x = max(6, int(blk_img.width * 0.25))
+                pad_y = max(6, int(blk_img.height * 0.25))
+                bw, bh = blk_img.width + 2 * pad_x, blk_img.height + 2 * pad_y
+            else:
+                pad_x = pad_y = 0
+                bw, bh = blk_img.width, blk_img.height
+            pos = self.blocks.place(placed, bw, bh, pw, ph)
             if pos is None:
                 continue
-            x, y = pos
+            bx, by = pos
+            x, y = bx + pad_x, by + pad_y
+            if use_bubble:
+                outline_tone = self.rng.randint(0, 50)
+                shape = [bx, by, bx + bw - 1, by + bh - 1]
+                width = self.rng.randint(2, 4)
+                if self.rng.random() < 0.6:
+                    draw.ellipse(shape, fill=bubble_fill, outline=(outline_tone,) * 3 + (255,), width=width)
+                else:
+                    draw.rounded_rectangle(
+                        shape, radius=max(4, min(bw, bh) // 6), fill=bubble_fill,
+                        outline=(outline_tone,) * 3 + (255,), width=width,
+                    )
             page.alpha_composite(blk_img, (x, y))
             bm = np.asarray(blk_mask)
             mask[y : y + blk_img.height, x : x + blk_img.width] = np.maximum(
                 mask[y : y + blk_img.height, x : x + blk_img.width], bm
             )
-            placed.append((x, y, x + blk_img.width, y + blk_img.height))
-            blk_xyxy.append([x, y, x + blk_img.width, y + blk_img.height])
+            placed.append((bx, by, bx + bw, by + bh))  # reserve the bubble extent
+            blk_xyxy.append([x, y, x + blk_img.width, y + blk_img.height])  # label = text box
             p = polys.copy()
             p[:, ::2] += x
             p[:, 1::2] += y

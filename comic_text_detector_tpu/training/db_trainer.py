@@ -118,6 +118,7 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
         hyp_data.get("aug_param"),
         shuffle=True,
         cache=hyp_data.get("cache", False),
+        as_uint8=True,
     )
     val_dataset, val_loader = create_dataloader(
         hyp_data["val_img_dir"],
@@ -127,6 +128,7 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
         augment=False,
         shuffle=False,
         cache=hyp_data.get("cache", False),
+        as_uint8=True,
         with_ann=True,
     )
     nb = len(train_loader)

@@ -85,6 +85,7 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
         hyp_data.get("aug_param"),
         shuffle=True,
         cache=hyp_data.get("cache", False),
+        as_uint8=True,
     )
     val_dataset, val_loader = create_dataloader(
         hyp_data["val_img_dir"],
@@ -94,6 +95,7 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
         augment=False,
         shuffle=False,
         cache=hyp_data.get("cache", False),
+        as_uint8=True,
     )
     nb = len(train_loader)
     LOGGER.info(f"num training imgs: {len(train_dataset)}, num val imgs: {len(val_dataset)}")

@@ -54,11 +54,21 @@ def create_db_train_state(variables: Dict, tx: optax.GradientTransformation) -> 
     return _split_state(variables, tx, ("dbnet",))
 
 
+def _as_float_img(x: jax.Array) -> jax.Array:
+    """uint8 batches (transfer-compact loaders) -> float in-graph."""
+    return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+
+
+def _as_float_mask(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.float32) if x.dtype == jnp.uint8 else x
+
+
 def make_seg_train_step(model, tx: optax.GradientTransformation) -> Callable:
     """U-Net mask training step: dice(pred, mask) on the trainable seg_net."""
 
     @jax.jit
     def step(state: TrainState, imgs: jax.Array, masks: jax.Array):
+        imgs, masks = _as_float_img(imgs), _as_float_mask(masks)
         def loss_fn(trainable):
             params = {**state.frozen, **trainable}
             pred, new_state = model.apply(
@@ -86,6 +96,7 @@ def make_seg_train_step(model, tx: optax.GradientTransformation) -> Callable:
 def make_seg_eval_step(model) -> Callable:
     @jax.jit
     def step(state: TrainState, imgs: jax.Array, masks: jax.Array):
+        imgs, masks = _as_float_img(imgs), _as_float_mask(masks)
         params = {**state.frozen, **state.params}
         pred = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
@@ -114,7 +125,7 @@ def make_db_train_step(model, tx: optax.GradientTransformation, use_bce: bool = 
             params = {**state.frozen, **trainable}
             pred, new_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["imgs"],
+                _as_float_img(batch["imgs"]),
                 forward_mode=TEXTDET_DET,
                 train=True,
                 mutable=["batch_stats"],
@@ -149,6 +160,8 @@ def make_yolo_train_step(model, tx: optax.GradientTransformation, spec, gains: O
 
     @jax.jit
     def step(state: TrainState, imgs: jax.Array, labels: jax.Array, label_mask: jax.Array):
+        imgs = _as_float_img(imgs)
+
         def loss_fn(trainable):
             params = {**state.frozen, **trainable}
             (raw, _z), new_state = model.apply(
@@ -184,6 +197,7 @@ def make_yolo_eval_step(model, spec, gains: Optional[Dict] = None) -> Callable:
 
     @jax.jit
     def step(state: TrainState, imgs: jax.Array, labels: jax.Array, label_mask: jax.Array):
+        imgs = _as_float_img(imgs)
         params = {**state.frozen, **state.params}
         raw, _z = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
@@ -202,6 +216,7 @@ def make_yolo_eval_step(model, spec, gains: Optional[Dict] = None) -> Callable:
 def make_db_eval_step(model) -> Callable:
     @jax.jit
     def step(state: TrainState, imgs: jax.Array):
+        imgs = _as_float_img(imgs)
         params = {**state.frozen, **state.params}
         return model.apply(
             {"params": params, "batch_stats": state.batch_stats},

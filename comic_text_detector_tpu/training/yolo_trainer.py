@@ -58,10 +58,11 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
     train_dataset, train_loader = create_dataloader(
         hyp_data["train_img_dir"], imgsz, batch_size,
         augment=hyp_data.get("augment", True), aug_param=hyp_data.get("aug_param"),
-        shuffle=True,
+        shuffle=True, as_uint8=True,
     )
     val_dataset, val_loader = create_dataloader(
-        hyp_data["val_img_dir"], imgsz, min(4, batch_size), augment=False, shuffle=False
+        hyp_data["val_img_dir"], imgsz, min(4, batch_size), augment=False, shuffle=False,
+        as_uint8=True,
     )
     nb = len(train_loader)
     LOGGER.info(f"num training imgs: {len(train_dataset)}, num val imgs: {len(val_dataset)}")
