@@ -155,7 +155,8 @@ class BatchTextDetector:
         outputs, metas, pages, extras = ticket
         size = self.size
         rows, counts, masks_out, dboxes, dscores, dvalid = jax.device_get(outputs)
-        out = []
+        staged = []
+        refine_tickets = []
         for i, page in enumerate(pages):
             im_h, im_w, dw, dh = metas[i]
             resize_ratio = (im_w / (size - dw), im_h / (size - dh))
@@ -185,11 +186,22 @@ class BatchTextDetector:
                 lines[..., 1] *= resize_ratio[1]
                 lines = lines.astype(np.int32)
             blk_list = group_output(blks, lines, im_w, im_h, mask)
+            staged.append((mask, blk_list))
             if self.refine_backend == "device":
-                mask_refined = self._refine_on_device(
-                    extras[0][i], extras[1][i], blk_list, page.shape, resize_ratio,
-                    dw, dh, refine_mode,
+                # dispatch the refine for EVERY page first — device compute
+                # for page i+1 overlaps page i's packed canvas download
+                refine_tickets.append(
+                    self._submit_refine(
+                        extras[0][i], extras[1][i], blk_list, page.shape, resize_ratio,
+                        dw, dh, refine_mode,
+                    )
                 )
+
+        out = []
+        for i, page in enumerate(pages):
+            mask, blk_list = staged[i]
+            if self.refine_backend == "device":
+                mask_refined = self._finish_refine(refine_tickets[i])
             else:
                 mask_refined = refine_mask(page, mask, blk_list, refine_mode=refine_mode)
                 if keep_undetected_mask:
@@ -199,9 +211,9 @@ class BatchTextDetector:
             out.append((mask, mask_refined, blk_list))
         return out
 
-    def _refine_on_device(self, lb_u8, mask_full, blk_list, img_shape, resize_ratio, dw, dh, refine_mode):
-        """Batched on-device window refinement for one page (see
-        TextDetector._refine_on_device)."""
+    def _submit_refine(self, lb_u8, mask_full, blk_list, img_shape, resize_ratio, dw, dh, refine_mode):
+        """Dispatch one page's batched window refinement; returns a ticket
+        for :meth:`_finish_refine` (see TextDetector._refine_on_device)."""
         from comic_text_detector_tpu.ops.refine import refine_page
         from comic_text_detector_tpu.pipeline.detector import _pack_canvas
         from comic_text_detector_tpu.utils.imgproc import expand_textwindow
@@ -222,8 +234,13 @@ class BatchTextDetector:
 
         windows = [to_lb(expand_textwindow(img_shape, blk.xyxy, expand_r=16)) for blk in blk_list]
         canvas = refine_page(lb_u8, mask_full, np.asarray(windows).reshape(-1, 4), refine_mode)
-        packed = np.asarray(jax.device_get(_pack_canvas(canvas)))
-        canvas_host = np.unpackbits(packed, axis=-1) * np.uint8(255)
+        packed = _pack_canvas(canvas)
+        packed.copy_to_host_async()
+        return packed, content_h, content_w, im_h, im_w
+
+    def _finish_refine(self, ticket) -> np.ndarray:
+        packed, content_h, content_w, im_h, im_w = ticket
+        canvas_host = np.unpackbits(np.asarray(jax.device_get(packed)), axis=-1) * np.uint8(255)
         refined = resize_bilinear_fast(canvas_host[:content_h, :content_w], (im_h, im_w))
         return np.where(refined > 127, np.uint8(255), np.uint8(0))
 
