@@ -41,6 +41,8 @@ def resize_bilinear_np(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return img.copy()
+    if img.dtype == np.uint8:
+        return resize_cv2exact_u8_np(img, out_hw)
     dtype = img.dtype
     x = img.astype(np.float32)
     r0, r1, rf = _lerp_weights(oh, h)
@@ -83,6 +85,95 @@ def resize_bilinear(img: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     return out
 
 
+# --- cv2 bit-exact uint8 bilinear ------------------------------------------------
+#
+# cv2.resize(..., INTER_LINEAR) on uint8 runs in 11-bit fixed point: per-axis
+# coefficients `saturate_cast<short>(f * 2048)` (float32 products, round half
+# to even), an integer horizontal pass, and the 8U vertical specialization
+#   dst = ((b0*(S0>>4))>>16) + ((b1*(S1>>4))>>16) + 2) >> 2.
+# All intermediates provably fit int32 (coef pairs sum to 2048).  Replicating
+# it exactly removes the ±1 LSB noise of float bilinear, which otherwise
+# flips conf-threshold/NMS decisions in golden-parity runs.
+
+
+def _cv2_linear_coefs(dst: int, src: int):
+    """(src index, coef0, coef1) per dst sample, cv2 INTER_LINEAR 8U rules."""
+    scale = src / dst
+    x = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    sx = np.floor(x).astype(np.int64)
+    fx = (x - sx).astype(np.float32)
+    fx = np.where(sx < 0, np.float32(0.0), fx)
+    sx = np.maximum(sx, 0)
+    if src > 1:
+        fx = np.where(sx >= src - 1, np.float32(1.0), fx)
+        sx = np.minimum(sx, src - 2)
+    else:
+        fx = np.zeros_like(fx)
+        sx = np.zeros_like(sx)
+    a0 = np.rint((np.float32(1.0) - fx) * np.float32(2048)).astype(np.int32)
+    a1 = np.rint(fx * np.float32(2048)).astype(np.int32)
+    return sx.astype(np.int32), a0, a1
+
+
+def resize_cv2exact_u8_np(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Bit-exact cv2.resize INTER_LINEAR for uint8 (H,W[,C]) images."""
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return img.copy()
+    sx, a0, a1 = _cv2_linear_coefs(ow, w)
+    sy, b0, b1 = _cv2_linear_coefs(oh, h)
+    im = img.astype(np.int32)
+    exp = (slice(None), None, None) if img.ndim == 3 else (slice(None), None)
+    if img.ndim == 3:
+        row = im[:, sx] * a0[None, :, None] + im[:, sx + 1] * a1[None, :, None]
+    else:
+        row = im[:, sx] * a0[None, :] + im[:, sx + 1] * a1[None, :]
+    s0, s1 = row[sy], row[sy + 1]
+    t = ((b0[exp] * (s0 >> 4)) >> 16) + ((b1[exp] * (s1 >> 4)) >> 16)
+    out = np.clip((t + 2) >> 2, 0, 255)
+    # vertically-copied rows (coef 2048/0) take cv2's 1-D cast instead:
+    # (S + 1023) >> 11 — round half DOWN, not the 2-D (+2)>>2 rounding.
+    # (cv2 5.0's IPP-backed non-dyadic scales truncate these rows instead;
+    # that residual ±1 LSB on <0.5% of edge-row pixels is accepted.)
+    edge0 = np.clip((s0 + 1023) >> 11, 0, 255)
+    edge1 = np.clip((s1 + 1023) >> 11, 0, 255)
+    out = np.where(b0[exp] == 2048, edge0, out)
+    out = np.where(b1[exp] == 2048, edge1, out)
+    return out.astype(np.uint8)
+
+
+def resize_cv2exact_u8(img_u8: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Device twin of :func:`resize_cv2exact_u8_np` (same integer math;
+    coefficients precomputed on host from the static shapes)."""
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return img_u8
+    sx, a0, a1 = _cv2_linear_coefs(ow, w)
+    sy, b0, b1 = _cv2_linear_coefs(oh, h)
+    im = img_u8.astype(jnp.int32)
+    g0 = jnp.take(im, jnp.asarray(sx), axis=1)
+    g1 = jnp.take(im, jnp.asarray(sx + 1), axis=1)
+    if img_u8.ndim == 3:
+        row = g0 * jnp.asarray(a0)[None, :, None] + g1 * jnp.asarray(a1)[None, :, None]
+        bb0 = jnp.asarray(b0)[:, None, None]
+        bb1 = jnp.asarray(b1)[:, None, None]
+    else:
+        row = g0 * jnp.asarray(a0)[None, :] + g1 * jnp.asarray(a1)[None, :]
+        bb0 = jnp.asarray(b0)[:, None]
+        bb1 = jnp.asarray(b1)[:, None]
+    s0 = jnp.take(row, jnp.asarray(sy), axis=0)
+    s1 = jnp.take(row, jnp.asarray(sy + 1), axis=0)
+    t = ((bb0 * (s0 >> 4)) >> 16) + ((bb1 * (s1 >> 4)) >> 16)
+    out = jnp.clip((t + 2) >> 2, 0, 255)
+    edge0 = jnp.clip((s0 + 1023) >> 11, 0, 255)
+    edge1 = jnp.clip((s1 + 1023) >> 11, 0, 255)
+    out = jnp.where(bb0 == 2048, edge0, out)
+    out = jnp.where(bb1 == 2048, edge1, out)
+    return out.astype(jnp.uint8)
+
+
 def letterbox_shape(h: int, w: int, new_shape: int | Tuple[int, int]) -> Tuple[int, int, int, int, float]:
     """(resized_h, resized_w, dw, dh, r) for a letterbox to ``new_shape``.
 
@@ -103,8 +194,7 @@ def letterbox_device(img_u8: jax.Array, new_shape: int) -> jax.Array:
     zero-pad + /255, fused into one device graph (one compile per input shape)."""
     h, w = img_u8.shape[0], img_u8.shape[1]
     nh, nw, dw, dh, _ = letterbox_shape(h, w, new_shape)
-    x = resize_bilinear(img_u8.astype(jnp.float32), (nh, nw))
-    x = jnp.clip(jnp.round(x), 0, 255)  # match the uint8 quantization cv2 applies
+    x = resize_cv2exact_u8(img_u8, (nh, nw)).astype(jnp.float32)
     x = jnp.pad(x, ((0, dh), (0, dw), (0, 0)))
     return x / 255.0
 
@@ -175,6 +265,5 @@ def letterbox_device_u8(img_u8: jax.Array, new_shape: int) -> jax.Array:
     /255) and the device mask-refinement windows."""
     h, w = img_u8.shape[0], img_u8.shape[1]
     nh, nw, dw, dh, _ = letterbox_shape(h, w, new_shape)
-    x = resize_bilinear(img_u8.astype(jnp.float32), (nh, nw))
-    x = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+    x = resize_cv2exact_u8(img_u8, (nh, nw))
     return jnp.pad(x, ((0, dh), (0, dw), (0, 0)))

@@ -202,6 +202,11 @@ class BatchTextDetector:
             mask, blk_list = staged[i]
             if self.refine_backend == "device":
                 mask_refined = self._finish_refine(refine_tickets[i])
+                if keep_undetected_mask:
+                    mask_refined = self._rescue_undetected(
+                        extras[0][i], extras[1][i], mask_refined, blk_list,
+                        metas[i], page.shape, refine_mode,
+                    )
             else:
                 mask_refined = refine_mask(page, mask, blk_list, refine_mode=refine_mode)
                 if keep_undetected_mask:
@@ -243,6 +248,56 @@ class BatchTextDetector:
         canvas_host = np.unpackbits(np.asarray(jax.device_get(packed)), axis=-1) * np.uint8(255)
         refined = resize_bilinear_fast(canvas_host[:content_h, :content_w], (im_h, im_w))
         return np.where(refined > 127, np.uint8(255), np.uint8(0))
+
+    def _rescue_undetected(self, lb_u8, mask_full, refined, blk_list, meta, img_shape, refine_mode):
+        """Device analog of refine_undetected_mask for the batch path
+        (reference textmask.py:135-156), operating in letterbox coords: raw
+        mask components no block covers get their own refine dispatch."""
+        from comic_text_detector_tpu.ops.refine import refine_page
+        from comic_text_detector_tpu.pipeline.detector import _pack_canvas
+        from comic_text_detector_tpu.utils.imgproc import (
+            connected_components_with_stats,
+            expand_textwindow,
+            intersect_area,
+            threshold_binary,
+        )
+
+        size = self.size
+        im_h, im_w, dw, dh = meta
+        content_h, content_w = size - dh, size - dw
+        sx, sy = content_w / im_w, content_h / im_h
+
+        raw_lb = np.asarray(jax.device_get(mask_full))[:content_h, :content_w]
+        refined_lb = resize_bilinear_fast(refined, (content_h, content_w))
+        rescue = raw_lb.copy()
+        rescue[refined_lb > 30] = 0
+        pred_t = threshold_binary(rescue, 30)
+        n, _labels, stats, _c = connected_components_with_stats(pred_t, 4)
+        lb_blks = [
+            [blk.xyxy[0] * sx, blk.xyxy[1] * sy, blk.xyxy[2] * sx, blk.xyxy[3] * sy]
+            for blk in blk_list
+        ]
+        boxes = []
+        for li in range(1, n):
+            x, y, w, h, area = stats[li]
+            if area <= 50:
+                continue
+            bbox = [x, y, x + w, y + h]
+            best = max((intersect_area(b, bbox) for b in lb_blks), default=-1)
+            if best / w / h < 0.5:
+                boxes.append(expand_textwindow((content_h, content_w), bbox, expand_r=16))
+        if not boxes:
+            return refined
+        # stay at the full (size, size) letterbox shape: slicing would compile
+        # a new refine executable per page content shape
+        refined_pad = np.zeros((size, size), bool)
+        refined_pad[:content_h, :content_w] = refined_lb > 30
+        mask_dev = jnp.where(jnp.asarray(refined_pad), jnp.uint8(0), mask_full)
+        extra = refine_page(lb_u8, mask_dev, np.asarray(boxes), refine_mode)
+        packed = np.asarray(jax.device_get(_pack_canvas(extra)))
+        extra_host = (np.unpackbits(packed, axis=-1) * np.uint8(255))[:content_h, :content_w]
+        extra_up = resize_bilinear_fast(extra_host, (im_h, im_w))
+        return np.where(extra_up > 127, np.uint8(255), refined)
 
     def process_batch(
         self,

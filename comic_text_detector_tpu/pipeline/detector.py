@@ -26,7 +26,7 @@ from comic_text_detector_tpu.models.convert import load_textdet_base_variables
 from comic_text_detector_tpu.models.detector import build_inference_model, init_variables
 from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects, db_decode_full_device
 from comic_text_detector_tpu.ops.nms import nms_single
-from comic_text_detector_tpu.ops.resize import letterbox_shape, resize_bilinear, resize_bilinear_fast
+from comic_text_detector_tpu.ops.resize import letterbox_shape, resize_bilinear_fast
 from comic_text_detector_tpu.postproc.textblock import TextBlock, group_output
 from comic_text_detector_tpu.postproc.textmask import refine_mask, refine_undetected_mask
 
@@ -354,7 +354,8 @@ def _pack_canvas(canvas: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _upsample_mask(mask_full: jax.Array, content_h: int, content_w: int, out_hw) -> jax.Array:
-    """Device analog of the host mask un-letterbox (crop pad + bilinear
-    resize to the original page, inference.py:164-172)."""
-    m = resize_bilinear(mask_full[:content_h, :content_w].astype(jnp.float32), out_hw)
-    return jnp.clip(jnp.round(m), 0, 255).astype(jnp.uint8)
+    """Device analog of the host mask un-letterbox (crop pad + cv2-exact
+    uint8 bilinear resize to the original page, inference.py:164-172)."""
+    from comic_text_detector_tpu.ops.resize import resize_cv2exact_u8
+
+    return resize_cv2exact_u8(mask_full[:content_h, :content_w], out_hw)

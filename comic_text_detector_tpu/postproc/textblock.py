@@ -539,8 +539,8 @@ def _assign_lines_to_blocks(lines: Sequence[np.ndarray],
     line_boxes = np.array(
         [[l[:, 0].min(), l[:, 1].min(), l[:, 0].max(), l[:, 1].max()] for l in lines],
         np.float64,
-    )
-    if not blk_list:
+    ).reshape(-1, 4)
+    if not blk_list or not len(lines):
         return np.full(len(lines), -1.0), np.full(len(lines), -1, np.int64)
     blk_boxes = np.array([blk.xyxy for blk in blk_list], np.float64)
     areas = (line_boxes[:, 2] - line_boxes[:, 0]) * (line_boxes[:, 3] - line_boxes[:, 1])

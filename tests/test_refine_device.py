@@ -101,3 +101,42 @@ def test_refine_page_empty():
     img, mask = _page(5)
     c = np.asarray(R.refine_page(jnp.asarray(img), jnp.asarray(mask), np.zeros((0, 4)), 0))
     assert c.sum() == 0
+
+
+def test_batch_rescue_undetected(monkeypatch):
+    """keep_undetected_mask on the batch device path: a raw-mask component no
+    block covers gets refined in (reference textmask.py:135-156)."""
+    from comic_text_detector_tpu.pipeline.batch import BatchTextDetector
+
+    size = 256
+    bdet = BatchTextDetector.random_init(
+        batch_size=1, input_size=size, half=False,
+        refine_backend="device", mask_transfer="packed",
+    )
+
+    # page with one dark text-ish region; force the net's mask via monkeypatch
+    page = np.full((300, 220, 3), 240, np.uint8)
+    page[60:100, 40:150] = 15
+
+    real_infer = bdet._infer
+
+    def fake_infer(variables, x_u8):
+        rows, counts, masks_out, boxes, scores, valid, masks_full = real_infer(variables, x_u8)
+        forced = np.zeros((1, size, size), np.uint8)
+        # letterbox of (300,220) to 256: r=256/300, content (256, 187)
+        y1, y2 = int(60 * 256 / 300), int(100 * 256 / 300)
+        x1, x2 = int(40 * 256 / 300), int(150 * 256 / 300)
+        forced[0, y1:y2, x1:x2] = 255
+        forced_dev = jnp.asarray(forced)
+        packed = jnp.packbits(forced_dev > 30, axis=-1)
+        return rows, counts * 0, packed, boxes, scores, valid & False, forced_dev
+
+    bdet._infer = fake_infer
+    (res_no,) = bdet.process_batch([page], keep_undetected_mask=False)
+    (res_yes,) = bdet.process_batch([page], keep_undetected_mask=True)
+    mask_no, refined_no, blks_no = res_no
+    mask_yes, refined_yes, blks_yes = res_yes
+    assert len(blks_no) == 0  # nothing detected -> no blocks
+    region_yes = refined_yes[60:100, 40:150]
+    assert refined_no.sum() == 0  # no blocks, no refinement
+    assert (region_yes > 0).mean() > 0.5  # rescue refined the region in
