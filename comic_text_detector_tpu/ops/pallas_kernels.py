@@ -179,11 +179,27 @@ def _band(n: int, target: int = 256) -> int:
     return b if n % b == 0 else n
 
 
+def _fit_band(n: int, n_other: int, cap_elems: int = 1 << 18, floor: int = 8) -> int:
+    """Block size along ``n`` keeping n_other*block <= cap_elems.
+
+    The doubling sweep keeps ~9 int32 temporaries live per block element;
+    capping the block near 2^18 elements (1 MB i32) bounds Mosaic's scoped
+    VMEM stack under the 16 MB limit.  ``floor`` enforces the Mosaic
+    last-dim tiling minimum (128) for column strips; the caller must keep
+    the orthogonal dimension short enough that floor-sized strips fit
+    (ops/refine.py SLOTS is sized for exactly this)."""
+    t = cap_elems // max(n_other, 1)
+    target = floor
+    while target * 2 <= min(t, 256):
+        target *= 2
+    return _band(n, max(target, floor))
+
+
 @jax.jit
 def cc_row_sweep(labels: jax.Array, mask_u8: jax.Array) -> jax.Array:
     """Forward+backward segmented min-scan along rows, tiled in row bands."""
     h, w = labels.shape
-    r = _band(h)
+    r = _fit_band(h, w)
     return pl.pallas_call(
         functools.partial(_scan_kernel, 1),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
@@ -201,7 +217,7 @@ def cc_row_sweep(labels: jax.Array, mask_u8: jax.Array) -> jax.Array:
 def cc_col_sweep(labels: jax.Array, mask_u8: jax.Array) -> jax.Array:
     """Forward+backward segmented min-scan along columns, tiled in strips."""
     h, w = labels.shape
-    c = _band(w, 256 if h <= 4096 else 128)
+    c = _fit_band(w, h, floor=128)
     return pl.pallas_call(
         functools.partial(_scan_kernel, 0),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),

@@ -8,13 +8,13 @@ reduce the byte-XOR distance to the predicted mask, then hole filling.  On a
 re-design: all K block windows are processed in one batched dispatch at
 letterbox resolution, with the irregular parts recast as MXU/VPU work:
 
-* window extraction / paste-back — separable bilinear resampling as
-  interpolation-matrix matmuls (no gathers on the hot path),
+* window extraction / paste-back — gather-based separable bilinear
+  (each output pixel reads its 2x2 taps; O(pixels), not O(pixels*S)),
 * histograms — fixed 256-level integer counts via fused compare+reduce,
   then rebinned to np.histogram's 255 data-range bins with 256-length math,
 * connected components — all K windows stacked into one label map (8-row
   background gaps) through the Pallas CC sweeps,
-* per-component statistics — one-hot matmul segment reductions,
+* per-component statistics — one batched scatter-add per candidate,
 * the "greedy" merge — provably order-independent within one candidate
   (components are disjoint, and a component's accept test only reads
   already-merged state at its own pixels), so each candidate's components
@@ -41,43 +41,13 @@ from comic_text_detector_tpu.constants import REFINEMASK_INPAINT
 
 S = 256  # fixed window side (letterbox-resolution blocks rarely exceed this)
 GAP = 8  # background rows between stacked windows (breaks 8-connectivity)
-CAP = 256  # per-window component capacity for segment reductions
+CAP = 2048  # per-window component capacity for segment reductions
 _BIG = 2**30  # python int: module-level jnp arrays become committed captured constants
 
 
 # ---------------------------------------------------------------------------
-# Separable resampling as matmuls
+# Window extraction / paste-back (gather-based separable bilinear)
 # ---------------------------------------------------------------------------
-
-
-def _resize_rows(lo, hi, n_src: int, n_dst: int) -> jax.Array:
-    """(n_dst, n_src) bilinear interpolation matrix for resampling the source
-    interval [lo, hi) to n_dst samples (cv2 INTER_LINEAR grid convention)."""
-    span = (hi - lo).astype(jnp.float32)
-    d = jnp.arange(n_dst, dtype=jnp.float32)
-    src = lo + (d + 0.5) * span / n_dst - 0.5
-    src = jnp.clip(src, lo, hi - 1.0)
-    i0 = jnp.floor(src)
-    frac = src - i0
-    y = jnp.arange(n_src, dtype=jnp.float32)[None, :]
-    m = (y == i0[:, None]) * (1.0 - frac[:, None]) + (y == i0[:, None] + 1.0) * frac[:, None]
-    # hi-1 clamp can make i0+1 == hi (weight 0 in theory, but keep exact):
-    return m
-
-
-def _paste_rows(lo, hi, n_src_dst: int, n_win: int) -> jax.Array:
-    """(n_src_dst, n_win) matrix resampling an n_win-sample window back onto
-    destination rows [lo, hi); rows outside the box are all-zero."""
-    span = (hi - lo).astype(jnp.float32)
-    d = jnp.arange(n_src_dst, dtype=jnp.float32)
-    src = (d - lo + 0.5) * n_win / jnp.maximum(span, 1.0) - 0.5
-    src = jnp.clip(src, 0.0, n_win - 1.0)
-    i0 = jnp.floor(src)
-    frac = src - i0
-    y = jnp.arange(n_win, dtype=jnp.float32)[None, :]
-    m = (y == i0[:, None]) * (1.0 - frac[:, None]) + (y == i0[:, None] + 1.0) * frac[:, None]
-    inside = (d >= lo) & (d < hi)
-    return m * inside[:, None]
 
 
 def _ext_hi(b):
@@ -90,6 +60,22 @@ def _ext_hi(b):
     return x_hi, y_hi
 
 
+def _sample_coords(lo, hi, n_src: int, n_dst: int):
+    """2-tap bilinear sampling grid for [lo, hi) -> n_dst samples (cv2
+    INTER_LINEAR grid convention): (i0, i1, frac) each (n_dst,)."""
+    span = (hi - lo).astype(jnp.float32)
+    d = jnp.arange(n_dst, dtype=jnp.float32)
+    src = lo + (d + 0.5) * span / n_dst - 0.5
+    src = jnp.clip(src, lo, hi - 1.0)
+    i0f = jnp.floor(src)
+    frac = src - i0f
+    i0 = jnp.clip(i0f, 0, n_src - 1).astype(jnp.int32)
+    i1 = jnp.clip(i0f + 1.0, 0, n_src - 1).astype(jnp.int32)
+    # i0+1 can equal hi after the hi-1 clamp; its weight is 0 there
+    frac = jnp.where(i1.astype(jnp.float32) <= i0f, 0.0, frac)
+    return i0, i1, frac
+
+
 def extract_windows(
     img: jax.Array, mask: jax.Array, boxes: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -98,45 +84,69 @@ def extract_windows(
     img (H, W, 3) uint8 BGR, mask (H, W) uint8, boxes (K, 4) int32 xyxy.
     Returns (window imgs, window masks, in_window validity (K, S, S) bool);
     pixels outside the true box are zeroed.
+
+    Sampling is gather-based separable bilinear (each output pixel reads its
+    2x2 source taps) — O(K*S*S) work.  The earlier interpolation-matrix
+    einsum formulation was O(K*S*H*W) (~10 TFLOP per dispatch on a real
+    page), which made refinement the pipeline bottleneck.
     """
     h, w = mask.shape
     planes = jnp.concatenate([img, mask[..., None]], axis=-1).astype(jnp.float32)  # (H, W, 4)
 
-    def mats(b):
+    def coords(b):
         x_hi, y_hi = _ext_hi(b)
-        ry = _resize_rows(b[1], y_hi, h, S)
-        rx = _resize_rows(b[0], x_hi, w, S)
+        y0, y1, fy = _sample_coords(b[1], y_hi, h, S)
+        x0, x1, fx = _sample_coords(b[0], x_hi, w, S)
         d = jnp.arange(S, dtype=jnp.int32)
         vy = (b[1] + d < b[3]) | (b[3] - b[1] > S)
         vx = (b[0] + d < b[2]) | (b[2] - b[0] > S)
-        return ry, rx, vy[:, None] & vx[None, :]
+        return y0, y1, fy, x0, x1, fx, vy[:, None] & vx[None, :]
 
-    ry, rx, in_window = jax.vmap(mats)(boxes)  # (K,S,H), (K,S,W), (K,S,S)
-    t = jnp.einsum("ksy,yxc->ksxc", ry, planes, preferred_element_type=jnp.float32)
-    out = jnp.einsum("ktx,ksxc->kstc", rx, t, preferred_element_type=jnp.float32)
+    y0, y1, fy, x0, x1, fx, in_window = jax.vmap(coords)(boxes)  # (K,S) each
+    rows0 = planes[y0.reshape(-1)].reshape(y0.shape + planes.shape[1:])  # (K,S,W,4)
+    rows1 = planes[y1.reshape(-1)].reshape(y1.shape + planes.shape[1:])
+    rows = rows0 * (1.0 - fy)[..., None, None] + rows1 * fy[..., None, None]
+    cols0 = jnp.take_along_axis(rows, x0[:, None, :, None], axis=2)  # (K,S,S,4)
+    cols1 = jnp.take_along_axis(rows, x1[:, None, :, None], axis=2)
+    out = cols0 * (1.0 - fx)[:, None, :, None] + cols1 * fx[:, None, :, None]
     out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     out = jnp.where(in_window[..., None], out, 0)
     return out[..., :3], out[..., 3], in_window
 
 
 def paste_windows(merged: jax.Array, boxes: jax.Array, valid: jax.Array, out_hw) -> jax.Array:
-    """OR the (K, S, S) uint8 0/255 window masks back onto an (H, W) canvas."""
-    h, w = out_hw
+    """OR the (K, S, S) uint8 0/255 window masks back onto an (H, W) canvas.
 
-    def mats(b):
+    Gather formulation: every canvas pixel samples its window-coordinate
+    2x2 taps from the (K, S, S) merged masks (O(K*H*W) elementwise work;
+    the old per-window paste-matrix einsums were O(K*H*W*S))."""
+    h, w = out_hw
+    m = merged.astype(jnp.float32)
+
+    def one(mk, b):
         x_hi, y_hi = _ext_hi(b)
-        py = _paste_rows(b[1], y_hi, h, S)
-        px = _paste_rows(b[0], x_hi, w, S)
-        # restrict to the true (unextended) box
+        span_y = jnp.maximum((y_hi - b[1]).astype(jnp.float32), 1.0)
+        span_x = jnp.maximum((x_hi - b[0]).astype(jnp.float32), 1.0)
+        yy = (jnp.arange(h, dtype=jnp.float32) - b[1] + 0.5) * S / span_y - 0.5
+        xx = (jnp.arange(w, dtype=jnp.float32) - b[0] + 0.5) * S / span_x - 0.5
+        yy = jnp.clip(yy, 0.0, S - 1.0)
+        xx = jnp.clip(xx, 0.0, S - 1.0)
+        y0 = jnp.floor(yy)
+        x0 = jnp.floor(xx)
+        fy = yy - y0
+        fx = xx - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, S - 1)
+        x1i = jnp.minimum(x0i + 1, S - 1)
+        top = mk[y0i][:, x0i] * (1 - fx)[None, :] + mk[y0i][:, x1i] * fx[None, :]
+        bot = mk[y1i][:, x0i] * (1 - fx)[None, :] + mk[y1i][:, x1i] * fx[None, :]
+        v = top * (1 - fy)[:, None] + bot * fy[:, None]
         iy = (jnp.arange(h) >= b[1]) & (jnp.arange(h) < b[3])
         ix = (jnp.arange(w) >= b[0]) & (jnp.arange(w) < b[2])
-        return py * iy[:, None], px * ix[:, None]
+        return (v > 127.0) & iy[:, None] & ix[None, :]
 
-    py, px = jax.vmap(mats)(boxes)  # (K, H, S), (K, W, S)
-    m = merged.astype(jnp.float32)
-    t = jnp.einsum("kys,kst->kyt", py, m, preferred_element_type=jnp.float32)  # (K, H, S)
-    full = jnp.einsum("kxt,kyt->kyx", px, t, preferred_element_type=jnp.float32)  # (K, H, W)
-    on = (full > 127.0) & valid[:, None, None]
+    on = jax.vmap(one)(m, boxes) & valid[:, None, None]
     return jnp.where(jnp.any(on, axis=0), jnp.uint8(255), jnp.uint8(0))
 
 
@@ -284,64 +294,32 @@ def _compact_ids(local_labels: jax.Array, fg: jax.Array) -> jax.Array:
     return ids.reshape(k, S, S)
 
 
-def _segment_sums(ids: jax.Array, quantities: jax.Array) -> jax.Array:
-    """Per-component sums via one-hot matmul (MXU).
+def _component_sums(ids: jax.Array, quantities: jax.Array) -> jax.Array:
+    """Per-component sums via ONE batched scatter-add.
 
-    ids (K, S, S) int32 in [0, CAP); quantities (Q, K, S, S) float32.
-    Returns (Q, K, CAP) float32 sums (index 0 = background bucket).
-    """
+    ids (K, S, S) int32 component ranks (0 = background; ranks >= CAP clip
+    to 0, i.e. beyond-capacity components are never accepted — conservative
+    for noise-heavy candidates); quantities (Q, K, S, S) float32.
+    Returns (Q, K, CAP) float32 sums.
+
+    A single scatter of (K*S*S, Q) rows replaces the earlier chunked
+    one-hot-matmul scan, which materialized ~2 GB of one-hot tensors per
+    call and dominated the refine dispatch (~50 ms vs ~8 ms)."""
     q, k = quantities.shape[0], ids.shape[0]
-    flat_ids = ids.reshape(k, S * S)
-    flat_q = quantities.reshape(q, k, S * S)
-
-    # bf16 inputs (0/1 values, exact) with f32 accumulation keeps the MXU in
-    # its native mode; the CPU test backend lacks bf16 dots, so fall back
-    dot_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-
-    def per_chunk(carry, inp):
-        idc, qc = inp  # (k, chunk), (q, k, chunk)
-        onehot = (idc[:, :, None] == jnp.arange(CAP)[None, None, :]).astype(dot_dtype)
-        s = jnp.einsum(
-            "qkp,kpc->qkc", qc.astype(dot_dtype), onehot, preferred_element_type=jnp.float32
-        )
-        return carry + s, None
-
-    chunks = 16
-    idc = flat_ids.reshape(k, chunks, -1).transpose(1, 0, 2)
-    qc = flat_q.reshape(q, k, chunks, -1).transpose(2, 0, 1, 3)
-    total, _ = jax.lax.scan(per_chunk, jnp.zeros((q, k, CAP), jnp.float32), (idc, qc))
-    return total
+    flat = jnp.where(ids < CAP, ids, 0).reshape(k, S * S)
+    gid = (jnp.arange(k, dtype=jnp.int32)[:, None] * CAP + flat).reshape(-1)
+    vals = quantities.reshape(q, -1).T  # (k*S*S, q)
+    out = jnp.zeros((k * CAP, q), jnp.float32).at[gid].add(vals)
+    return out.reshape(k, CAP, q).transpose(2, 0, 1)
 
 
-def _multiround_sums(ids: jax.Array, quantities: jax.Array, rounds: int) -> jax.Array:
-    """Per-component sums for up to rounds*(CAP-1) components per window.
-
-    Components are independent, so evaluating them in CAP-1-sized rank
-    windows composes exactly; components beyond the last round are simply
-    never accepted (conservative for noise-heavy candidates).
-    Returns (rounds, Q, K, CAP) float32.
-    """
+def _take_accept(ids: jax.Array, accept: jax.Array) -> jax.Array:
+    """(K, CAP) per-component accept bits -> (K, S, S) pixel mask (bucket 0
+    = background and beyond-capacity ranks are never accepted)."""
     k = ids.shape[0]
-    flat = ids.reshape(k, S * S)
-    out = []
-    for r in range(rounds):
-        lo = r * (CAP - 1)
-        ids_r = jnp.where((flat > lo) & (flat <= lo + CAP - 1), flat - lo, 0).reshape(ids.shape)
-        out.append(_segment_sums(ids_r, quantities))
-    return jnp.stack(out)
-
-
-def _broadcast_accept(ids: jax.Array, accept: jax.Array, rounds: int) -> jax.Array:
-    """(rounds, K, CAP) per-component accept bits -> (K, S, S) pixel mask."""
-    k = ids.shape[0]
-    flat = ids.reshape(k, S * S)
-    take = jnp.zeros((k, S * S), bool)
-    for r in range(rounds):
-        lo = r * (CAP - 1)
-        ids_r = jnp.where((flat > lo) & (flat <= lo + CAP - 1), flat - lo, 0)
-        acc = accept[r].at[:, 0].set(False)
-        take |= jnp.take_along_axis(acc, ids_r, axis=1)
-    return take.reshape(ids.shape)
+    acc = accept.at[:, 0].set(False)
+    flat = jnp.where(ids < CAP, ids, 0).reshape(k, S * S)
+    return jnp.take_along_axis(acc, flat, axis=1).reshape(ids.shape)
 
 
 def _count_neighbors(fg: jax.Array, offsets) -> jax.Array:
@@ -379,9 +357,8 @@ def _merge_candidate(merged: jax.Array, cand: jax.Array, pred: jax.Array) -> jax
     new = fg & ~merged
     on = (new & pred).astype(jnp.float32)
     off = (new & ~pred).astype(jnp.float32)
-    rounds = 8
-    sums = _multiround_sums(ids, jnp.stack([on, off]), rounds)  # (r, 2, K, CAP)
-    take = _broadcast_accept(ids, sums[:, 0] > sums[:, 1], rounds)
+    sums = _component_sums(ids, jnp.stack([on, off]))  # (2, K, CAP)
+    take = _take_accept(ids, sums[0] > sums[1])
     return merged | (fg & take)
 
 
@@ -398,16 +375,13 @@ def _fill_holes(merged: jax.Array, pred: jax.Array, in_window: jax.Array) -> jax
     off = (inv & ~pred & in_window).astype(jnp.float32)
     ones = inv.astype(jnp.float32)
     dead = (inv & ~in_window).astype(jnp.float32)
-    rounds = 4
-    k = ids.shape[0]
-    sums = _multiround_sums(ids, jnp.stack([on, off, ones, dead]), rounds)  # (r,4,K,CAP)
-    eff_area = sums[:, 2] - sums[:, 3]  # (r, K, CAP), dead-zone pixels removed
-    comp_areas = eff_area.transpose(1, 0, 2)[:, :, 1:].reshape(k, -1)
+    sums = _component_sums(ids, jnp.stack([on, off, ones, dead]))  # (4, K, CAP)
+    eff_area = sums[2] - sums[3]  # (K, CAP), dead-zone pixels removed
     merged_area = jnp.sum(merged & in_window, axis=(1, 2)).astype(jnp.float32)  # cv2 label 0
-    all_areas = jnp.concatenate([merged_area[:, None], comp_areas], axis=1)
+    all_areas = jnp.concatenate([merged_area[:, None], eff_area[:, 1:]], axis=1)
     thresh = jax.lax.top_k(all_areas, 2)[0][:, 1]  # second largest
-    accept = (sums[:, 0] > sums[:, 1]) & (eff_area < thresh[None, :, None])
-    take = _broadcast_accept(ids, accept, rounds)
+    accept = (sums[0] > sums[1]) & (eff_area < thresh[:, None])
+    take = _take_accept(ids, accept)
     return merged | (inv & take & in_window)
 
 
@@ -571,7 +545,12 @@ def _refine_windows_jit(
     return paste_windows(out, boxes, valid, mask_lb.shape)
 
 
-SLOTS = 16  # windows per dispatch: one compiled executable for any page
+# Windows per dispatch: one compiled executable serves any page.  8 slots
+# keep the stacked-window CC at 8*(S+GAP) = 2112 rows, whose (2112, 128)
+# Pallas column strips fit Mosaic's 16 MB scoped-VMEM budget (16 slots =
+# 4224 rows OOMed on v5e; the last-dim tiling floor of 128 blocks any
+# narrower strip).
+SLOTS = 8
 
 
 def refine_page(img_lb, mask_lb, window_boxes, refine_mode: int = REFINEMASK_INPAINT):

@@ -1,0 +1,105 @@
+"""Per-stage timing of the single-page pipeline on the current backend.
+
+Times each stage of TextDetector.__call__ separately (device dispatches
+block-until-ready; transfers measured by explicit device_get) to direct
+optimization work.  Run on the real TPU:  python scripts/profile_page.py
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("CTD_COMPILE_CACHE", osp.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from comic_text_detector_tpu.pipeline import TextDetector
+    from comic_text_detector_tpu.utils.io import imread
+
+    det = TextDetector(
+        model_path=osp.join(ROOT, "data", "flagship_r2.npz"), input_size=1024, half=True,
+        refine_backend="device", mask_transfer="packed",
+    )
+    img = imread("/root/reference/data/examples/AisazuNihaIrarenai-003.jpg")
+    det(img)  # compile + warm
+    det(img)
+
+    from comic_text_detector_tpu.ops.resize import letterbox_shape
+    from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects
+    from comic_text_detector_tpu.postproc.textblock import group_output
+    from comic_text_detector_tpu.ops.refine import refine_page
+    from comic_text_detector_tpu.utils.imgproc import expand_textwindow
+    from comic_text_detector_tpu.pipeline.detector import _pack_canvas, _upsample_mask
+
+    im_h, im_w = img.shape[:2]
+    size = det.input_size[0]
+    _, _, dw, dh, _ = letterbox_shape(im_h, im_w, size)
+
+    def t(label, fn, n=5):
+        best = 1e9
+        out = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+        print(f"{label:38s} {best*1e3:8.1f} ms")
+        return out
+
+    img_dev = t("upload page", lambda: jax.device_put(img).block_until_ready())
+    lb = t("device letterbox", lambda: det._lb(im_h, im_w)(img_dev).block_until_ready())
+    out = t("fused infer dispatch", lambda: jax.block_until_ready(det._infer(im_h, im_w)(det.variables, lb)))
+    hostvals = t("download compact outputs", lambda: jax.device_get(out[:6]))
+    rows, count, mask_out, dboxes, dscores, dvalid = hostvals
+    mask_full = out[6]
+
+    resize_ratio = (im_w / (size - dw), im_h / (size - dh))
+    blks = t("postprocess yolo (host)", lambda: det._postprocess_yolo(rows, int(count), resize_ratio))
+    def lines_fn():
+        lines, scores = boxes_from_device_rects(dboxes, dscores, dvalid, size, size, size, size)
+        if len(scores):
+            keep = scores > det.box_thresh
+            lines, scores = lines[keep], scores[keep]
+        return lines
+    lines = t("db rects -> lines (host)", lines_fn)
+
+    from comic_text_detector_tpu.ops.resize import resize_bilinear_fast
+    bits = np.unpackbits(mask_out, axis=-1)[:, : size - dw]
+    mask = t("mask unpack+upscale (host)", lambda: np.where(
+        resize_bilinear_fast((np.unpackbits(mask_out, axis=-1)[:, : size - dw]) * np.uint8(255), (im_h, im_w)) > 127,
+        np.uint8(255), np.uint8(0)))
+    if isinstance(lines, np.ndarray) and lines.size:
+        lines2 = lines.astype(np.float64)
+        lines2[..., 0] *= resize_ratio[0]
+        lines2[..., 1] *= resize_ratio[1]
+        lines2 = lines2.astype(np.int32)
+    else:
+        lines2 = []
+    blk_list = t("group_output (host)", lambda: group_output(blks, lines2, im_w, im_h, mask))
+    print(f"{'blocks':38s} {len(blk_list):8d}")
+
+    mask_dev = t("device mask upsample", lambda: _upsample_mask(
+        mask_full, size - dh, size - dw, (im_h, im_w)).block_until_ready())
+    windows = np.asarray([expand_textwindow(img.shape, blk.xyxy, expand_r=16) for blk in blk_list]).reshape(-1, 4)
+    canvas = t("refine_page (device)", lambda: refine_page(img_dev, mask_dev, windows).block_until_ready())
+    packed = t("pack canvas", lambda: _pack_canvas(canvas).block_until_ready())
+    t("download packed canvas", lambda: jax.device_get(packed))
+    t("TOTAL det(img)", lambda: det(img), n=3)
+
+
+if __name__ == "__main__":
+    main()
