@@ -258,26 +258,47 @@ def _topk_colors(counts255: jax.Array, edges_lo: jax.Array, edges_step: jax.Arra
 # ---------------------------------------------------------------------------
 
 ROWS = S + GAP  # stacked rows per window
+GAPC = 128  # column gap between stacked-grid columns (Mosaic 128-lane unit)
 
 
 def _stacked_cc(cands: jax.Array) -> jax.Array:
-    """CC-label K windows of one candidate set in a single pass.
+    """CC-label N windows in a single pass over a 2-D grid layout.
 
-    cands (K, S, S) bool -> (K, S, S) int32 window-local root indices
+    cands (N, S, S) bool -> (N, S, S) int32 window-local root indices
     (row * S + col of the component min pixel), _BIG on background.
+
+    Windows stack SLOTS-tall into ``g = ceil(N / SLOTS)`` grid columns
+    separated by GAPC background columns (8-row gaps break vertical
+    connectivity, the column gaps horizontal).  The grid keeps the column
+    height at SLOTS*ROWS regardless of N, so one CC invocation can label
+    e.g. all 4 candidate sets of a refine dispatch at once while the Pallas
+    column sweeps stay inside the scoped-VMEM budget.
     """
     from comic_text_detector_tpu.ops.cc import connected_components
 
-    k = cands.shape[0]
-    stacked = jnp.pad(cands, ((0, 0), (0, GAP), (0, 0))).reshape(k * ROWS, S)
-    labels = connected_components(stacked, 8)  # (k*ROWS, S), 0 = background
-    glob = labels.astype(jnp.int32) - 1  # global linear index of root
-    glob = glob.reshape(k, ROWS, S)[:, :S, :]
-    base = (jnp.arange(k, dtype=jnp.int32) * (ROWS * S))[:, None, None]
-    row_of = (glob - base) // S
-    col_of = (glob - base) % S
-    local = row_of * S + col_of
-    return jnp.where(glob >= 0, local, _BIG)
+    n = cands.shape[0]
+    k = min(n, SLOTS)
+    g = (n + k - 1) // k
+    pitch = S + GAPC
+    width = (g - 1) * pitch + S
+    pad_n = g * k - n
+    grid = jnp.pad(cands, ((0, pad_n), (0, GAP), (0, 0)))  # (g*k, ROWS, S)
+    # (g, k*ROWS, S) -> place column c at x offset c*pitch
+    grid = grid.reshape(g, k * ROWS, S).transpose(1, 0, 2)  # (k*ROWS, g, S)
+    grid = jnp.pad(grid, ((0, 0), (0, 0), (0, GAPC)))  # (k*ROWS, g, pitch)
+    canvas = grid.reshape(k * ROWS, g * pitch)[:, :width]
+    labels = connected_components(canvas, 8)  # 0 = background
+    glob = labels.astype(jnp.int32) - 1  # global linear root index in canvas
+    row_of = glob // width
+    col_of = glob % width
+    c_of = col_of // pitch
+    local = (row_of % ROWS) * S + (col_of - c_of * pitch)
+    out = jnp.where(glob >= 0, local, _BIG)  # (k*ROWS, width)
+    # slice each window back out: window i lives at column i//k, rows (i%k)*ROWS
+    out = jnp.pad(out, ((0, 0), (0, g * pitch - width)), constant_values=_BIG)
+    out = out.reshape(k, ROWS, g, pitch)[:, :S, :, :S]  # (k, S, g, S)
+    out = out.transpose(2, 0, 1, 3).reshape(g * k, S, S)
+    return out[:n]
 
 
 def _compact_ids(local_labels: jax.Array, fg: jax.Array) -> jax.Array:
@@ -347,19 +368,24 @@ def _drop_tiny_components(fg: jax.Array) -> jax.Array:
     return fg & ~(singleton | straight_pair)
 
 
-def _merge_candidate(merged: jax.Array, cand: jax.Array, pred: jax.Array) -> jax.Array:
-    """Absorb every component of ``cand`` whose un-merged pixels match the
-    predicted mask more than they miss it (exactly the reference's
-    xor_merged < xor_origin test, reference textmask.py:95-110; components
-    are disjoint, so all decisions commute)."""
-    fg = _drop_tiny_components(cand)
-    ids = _compact_ids(_stacked_cc(fg), fg)
+def _merge_labeled(merged: jax.Array, fg: jax.Array, ids: jax.Array, pred: jax.Array) -> jax.Array:
+    """Absorb every component of a pre-labeled candidate whose un-merged
+    pixels match the predicted mask more than they miss it (exactly the
+    reference's xor_merged < xor_origin test, reference textmask.py:95-110;
+    components are disjoint, so all decisions commute)."""
     new = fg & ~merged
     on = (new & pred).astype(jnp.float32)
     off = (new & ~pred).astype(jnp.float32)
     sums = _component_sums(ids, jnp.stack([on, off]))  # (2, K, CAP)
     take = _take_accept(ids, sums[0] > sums[1])
     return merged | (fg & take)
+
+
+def _merge_candidate(merged: jax.Array, cand: jax.Array, pred: jax.Array) -> jax.Array:
+    """CC + tiny-drop + :func:`_merge_labeled` for a single candidate set."""
+    fg = _drop_tiny_components(cand)
+    ids = _compact_ids(_stacked_cc(fg), fg)
+    return _merge_labeled(merged, fg, ids, pred)
 
 
 def _fill_holes(merged: jax.Array, pred: jax.Array, in_window: jax.Array) -> jax.Array:
@@ -531,11 +557,18 @@ def _refine_windows_jit(
     order = jnp.argsort(xors, axis=0)  # (4, K) stable: bands before otsu on ties
 
     k = win_msk.shape[0]
+    # candidate CCs are independent of the sequential merge state, so label
+    # all 4 candidate sets in ONE grid-stacked CC pass (4 grid columns);
+    # only the cheap accept/merge math stays sequential in XOR-score order
+    fgs = _drop_tiny_components((cands > 0).reshape(4 * k, S, S))
+    ids_all = _compact_ids(_stacked_cc(fgs), fgs).reshape(4, k, S, S)
+    fgs = fgs.reshape(4, k, S, S)
     merged = jnp.zeros((k, S, S), bool)
     for rank in range(4):
-        idx = order[rank]  # (K,)
-        cand = jnp.take_along_axis(cands, idx[None, :, None, None], axis=0)[0] > 0
-        merged = _merge_candidate(merged, cand, pred)
+        idx = order[rank][None, :, None, None]  # (1, K, 1, 1)
+        fg = jnp.take_along_axis(fgs, idx, axis=0)[0]
+        ids = jnp.take_along_axis(ids_all, idx, axis=0)[0]
+        merged = _merge_labeled(merged, fg, ids, pred)
 
     dilated = (_dilate_rect3(merged.astype(jnp.uint8) * 255) > 0) & in_window
     merged = jnp.where(refine_mode == REFINEMASK_INPAINT, dilated, merged)
