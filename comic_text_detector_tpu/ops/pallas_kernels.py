@@ -195,6 +195,69 @@ def _fit_band(n: int, n_other: int, cap_elems: int = 1 << 18, floor: int = 8) ->
     return _band(n, max(target, floor))
 
 
+def _cc_window_kernel(m_ref, o_ref):
+    """Complete 8-connected CC labeling of ONE window, in VMEM.
+
+    Iterates (row sweeps, col sweeps, diagonal hop) to the fixpoint inside
+    the kernel — zero HBM round-trips between propagation rounds.  The
+    global formulation pays one HBM read+write of the whole canvas per
+    round, and serpentine refine candidates need ~70 rounds; per-window
+    in-VMEM iteration makes rounds nearly free and each window stops at its
+    own fixpoint.  Output: component-min linear index per pixel (row*S+col),
+    _CC_BIG on background.
+    """
+    m = (m_ref[0] != 0).astype(jnp.int32)  # (S, S)
+    h, w = m.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    l0 = jnp.where(m > 0, lin, _CC_BIG)
+
+    def one_round(l):
+        l = _segmented_min_sweep(l, m, axis=1, reverse=False)
+        l = _segmented_min_sweep(l, m, axis=1, reverse=True)
+        l = _segmented_min_sweep(l, m, axis=0, reverse=False)
+        l = _segmented_min_sweep(l, m, axis=0, reverse=True)
+        diag = jnp.minimum(
+            jnp.minimum(
+                _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), 1, 1, _CC_BIG),
+                _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), -1, 1, _CC_BIG),
+            ),
+            jnp.minimum(
+                _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), 1, 1, _CC_BIG),
+                _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), -1, 1, _CC_BIG),
+            ),
+        )
+        return jnp.where(m > 0, jnp.minimum(l, diag), _CC_BIG)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        l, _ = state
+        nl = one_round(l)
+        return nl, jnp.any(nl != l)
+
+    l, _ = jax.lax.while_loop(cond, body, (l0, jnp.bool_(True)))
+    o_ref[0] = l
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def cc_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> jax.Array:
+    """Per-window CC for (N, S, S) uint8 masks -> (N, S, S) int32 local root
+    indices (_CC_BIG on background), one grid step per window."""
+    n, s1, s2 = masks_u8.shape
+    return pl.pallas_call(
+        _cc_window_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, s1, s2), jnp.int32),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0)),
+        interpret=_interpret() if interpret is None else interpret,
+    )(masks_u8)
+
+
 @jax.jit
 def cc_row_sweep(labels: jax.Array, mask_u8: jax.Array) -> jax.Array:
     """Forward+backward segmented min-scan along rows, tiled in row bands."""

@@ -277,6 +277,13 @@ def _stacked_cc(cands: jax.Array) -> jax.Array:
     from comic_text_detector_tpu.ops.cc import connected_components
 
     n = cands.shape[0]
+    if jax.default_backend() == "tpu":
+        # per-window in-VMEM fixpoint kernel: rounds cost no HBM traffic and
+        # each window stops at its own convergence (the global grid pass
+        # paid ~70 full-canvas HBM rounds on serpentine candidates)
+        from comic_text_detector_tpu.ops.pallas_kernels import cc_windows_local
+
+        return cc_windows_local(cands.astype(jnp.uint8))
     k = min(n, SLOTS)
     g = (n + k - 1) // k
     pitch = S + GAPC

@@ -53,3 +53,28 @@ def test_pallas_cc_matches_scipy(connectivity):
     structure = np.ones((3, 3)) if connectivity == 8 else None
     ref, _n = ndimage.label(m, structure=structure)
     np.testing.assert_array_equal(_canon(got), _canon(ref))
+
+
+def test_cc_windows_local_interpret():
+    """Per-window in-VMEM CC kernel (interpret mode) vs the XLA CC path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from comic_text_detector_tpu.ops.cc import connected_components
+    from comic_text_detector_tpu.ops.pallas_kernels import _CC_BIG, cc_windows_local
+
+    rng = np.random.default_rng(3)
+    masks = np.zeros((3, 64, 64), np.uint8)
+    masks[0] = rng.random((64, 64)) < 0.35
+    # serpentine: comb with alternating connections
+    masks[1, ::4, :] = 1
+    masks[1, 1:4, 0] = 1
+    masks[1, 5:8, -1] = 1
+    # diagonal staircase
+    for i in range(60):
+        masks[2, i, i] = 1
+    out = np.asarray(cc_windows_local(jnp.asarray(masks), True))
+    for i in range(3):
+        ref = np.asarray(connected_components(jnp.asarray(masks[i] > 0), 8, "xla"))
+        expect = np.where(masks[i] > 0, ref.astype(np.int64) - 1, _CC_BIG)
+        np.testing.assert_array_equal(out[i], expect, err_msg=f"window {i}")
