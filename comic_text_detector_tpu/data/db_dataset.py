@@ -147,8 +147,13 @@ class DBDataset:
         return img, ann
 
     def __getitem__(self, idx: int) -> dict:
+        if getattr(self, "cache_prepared", False):
+            return self._cached_item(idx)
+        return self._finalize(self._build_item(idx))
+
+    def _build_item(self, idx: int) -> dict:
         img, ann = self.load_item(idx, self.img_size)
-        if self._augment:
+        if self._augment and not getattr(self, "cache_prepared", False):
             img, ann = self._apply_augment(img, ann)
         ignore_tags = [False] * ann.shape[0]
         img, _, (dw, dh) = letterbox_fast_np(img, self.img_size)
@@ -160,6 +165,12 @@ class DBDataset:
         data = {"imgs": img, "text_polys": ann, "ignore_tags": ignore_tags}
         data = self.make_shrink_map(data)
         data = self.make_border_map(data)
+        data["content_wh"] = (im_w - dw, im_h - dh)
+        return data
+
+    def _finalize(self, data: dict) -> dict:
+        data = dict(data)
+        data.pop("content_wh", None)
         tp = data.pop("text_polys")
         it = data.pop("ignore_tags")
         if self.with_ann:
@@ -170,6 +181,62 @@ class DBDataset:
         else:
             data["imgs"] = data["imgs"][:, :, ::-1].astype(np.float32) / 255.0  # RGB/255
         return data
+
+    # --- prepared-sample cache --------------------------------------------
+    #
+    # Per-sample shrink/border map generation + PNG decode is the DB train
+    # step's host bottleneck (the 1-vCPU host can't hide it behind device
+    # compute).  With rotation/multi-size off, the letterboxed image + GT
+    # maps are deterministic: cache them once (maps as float16, ~2.3 MB per
+    # 512px sample — thousands of pages fit in RAM), then apply only the
+    # cheap augments (content-region flip of image+maps together, HSV /
+    # negate of the image alone) per epoch.
+
+    def enable_prepared_cache(self) -> None:
+        if self._augment and (getattr(self, "multi_size", False) or self._rotate or self._mini_mosaic):
+            raise ValueError(
+                "cache_prepared requires rotate/mini_mosaic/multi-size off "
+                "(those augments change the GT maps per epoch)"
+            )
+        if self._augment and self.with_ann:
+            raise ValueError(
+                "cache_prepared+augment leaves text_polys unflipped — "
+                "use it only for training loaders (with_ann=False)"
+            )
+        self.cache_prepared = True
+        self._prep_cache: dict = {}
+
+    def _cached_item(self, idx: int) -> dict:
+        got = self._prep_cache.get(idx)
+        if got is None:
+            data = self._build_item(idx)
+            got = {
+                "imgs": data["imgs"],
+                "shrink_map": data["shrink_map"].astype(np.float16),
+                "shrink_mask": data["shrink_mask"].astype(np.float16),
+                "threshold_map": data["threshold_map"].astype(np.float16),
+                "threshold_mask": data["threshold_mask"].astype(np.float16),
+                "text_polys": data["text_polys"],
+                "ignore_tags": data["ignore_tags"],
+                "content_wh": data["content_wh"],
+            }
+            self._prep_cache[idx] = got
+        data = {
+            k: (v.astype(np.float32) if isinstance(v, np.ndarray) and v.dtype == np.float16 else v)
+            for k, v in got.items()
+        }
+        if self._augment:
+            cw, ch = data["content_wh"]
+            if self._rng.random() < self._flip_lr:
+                for k in ("imgs", "shrink_map", "shrink_mask", "threshold_map", "threshold_mask"):
+                    a = data[k].copy()
+                    a[:ch, :cw] = a[:ch, cw - 1::-1]  # flip content, pad stays right
+                    data[k] = a
+            if self._rng.random() < self._augment_hsv:
+                data["imgs"] = augment_hsv(np.ascontiguousarray(data["imgs"]))
+            if self._rng.random() < self._neg:
+                data["imgs"] = negate(data["imgs"])
+        return self._finalize(data)
 
 
 def create_dataloader(

@@ -77,6 +77,9 @@ def _use_pallas(shape) -> bool:
         jax.default_backend() == "tpu"
         and shape[0] % 8 == 0
         and shape[1] % 128 == 0
+        # column strips have a 128-lane tiling floor; taller canvases would
+        # blow the sweep kernel's scoped-VMEM budget (pallas_kernels.py)
+        and shape[0] * 128 <= (1 << 19)
     )
 
 

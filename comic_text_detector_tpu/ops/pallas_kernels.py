@@ -243,6 +243,99 @@ def _cc_window_kernel(m_ref, o_ref):
     o_ref[0] = l
 
 
+def _cc_ids_kernel(m_ref, o_ref):
+    """CC labeling + in-VMEM rank compaction of ONE window.
+
+    Output: 1-based component ids in raster order of component roots
+    (identical to ops/refine.py::_compact_ids over the converged root
+    labels), 0 on background.  Computing the ranks inside the kernel
+    replaces a ~2M-element HBM gather per refine dispatch (XLA take_along_
+    axis measured ~12 ms/M elements on v5e) with two cheap in-register
+    prefix sums and a second min-propagation over the already-converged
+    component structure.
+    """
+    m = (m_ref[0] != 0).astype(jnp.int32)  # (S, S)
+    h, w = m.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    l0 = jnp.where(m > 0, lin, _CC_BIG)
+
+    def one_round(l):
+        l = _segmented_min_sweep(l, m, axis=1, reverse=False)
+        l = _segmented_min_sweep(l, m, axis=1, reverse=True)
+        l = _segmented_min_sweep(l, m, axis=0, reverse=False)
+        l = _segmented_min_sweep(l, m, axis=0, reverse=True)
+        diag = jnp.minimum(
+            jnp.minimum(
+                _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), 1, 1, _CC_BIG),
+                _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), -1, 1, _CC_BIG),
+            ),
+            jnp.minimum(
+                _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), 1, 1, _CC_BIG),
+                _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), -1, 1, _CC_BIG),
+            ),
+        )
+        return jnp.where(m > 0, jnp.minimum(l, diag), _CC_BIG)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        l, _ = state
+        nl = one_round(l)
+        return nl, jnp.any(nl != l)
+
+    l, _ = jax.lax.while_loop(cond, body, (l0, jnp.bool_(True)))
+
+    # raster-order 1-based root ranks: within-row inclusive prefix count of
+    # roots + exclusive prefix of the per-row totals (Hillis-Steele shifts)
+    is_root = ((l == lin) & (m > 0)).astype(jnp.int32)
+    x = is_root
+    s = 1
+    while s < w:
+        x = x + _shift_with_fill(x, s, 1, 0)
+        s *= 2
+    # row totals broadcast to full width (Mosaic rejects (h, 1)-shaped
+    # shifts: sub-lane-width concatenates hit layout-offset limits)
+    row_tot = jnp.broadcast_to(jax.lax.slice(x, (0, w - 1), (h, w)), (h, w))
+    y = row_tot
+    s = 1
+    while s < h:
+        y = y + _shift_with_fill(y, s, 0, 0)
+        s *= 2
+    rank = x + (y - row_tot)  # inclusive in-row + rows-above totals
+
+    # min-propagate each root's rank across its (already converged)
+    # component: ranks are monotone in the root linear index, so the
+    # component min IS the root's rank
+    aux0 = jnp.where(is_root > 0, rank, _CC_BIG)
+
+    def body2(state):
+        a, _ = state
+        na = one_round(a)
+        return na, jnp.any(na != a)
+
+    aux, _ = jax.lax.while_loop(cond, body2, (aux0, jnp.bool_(True)))
+    o_ref[0] = jnp.where(m > 0, aux, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def cc_ids_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> jax.Array:
+    """Per-window CC + compact ids for (N, S, S) uint8 masks -> (N, S, S)
+    int32 1-based component ids (0 = background), one grid step per window."""
+    n, s1, s2 = masks_u8.shape
+    return pl.pallas_call(
+        _cc_ids_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, s1, s2), jnp.int32),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0)),
+        interpret=_interpret() if interpret is None else interpret,
+    )(masks_u8)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def cc_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> jax.Array:
     """Per-window CC for (N, S, S) uint8 masks -> (N, S, S) int32 local root
@@ -281,6 +374,18 @@ def cc_col_sweep(labels: jax.Array, mask_u8: jax.Array) -> jax.Array:
     """Forward+backward segmented min-scan along columns, tiled in strips."""
     h, w = labels.shape
     c = _fit_band(w, h, floor=128)
+    if h * c > (1 << 19):
+        # the 128-lane tiling floor would blow the scoped-VMEM budget the
+        # cap exists to enforce (~9 live i32 copies per block element;
+        # 2112x128 strips measured fine on v5e, 4224x128 OOMed in Mosaic);
+        # fail loudly instead of OOMing at compile time — canvases this
+        # tall should use the XLA CC path (connected_components
+        # backend='xla'; the 'auto' route never sends them here).
+        raise ValueError(
+            f"cc_col_sweep: column strip {h}x{c} exceeds the scoped-VMEM "
+            f"budget; use connected_components(backend='xla') for canvases "
+            f"taller than {(1 << 19) // 128} rows"
+        )
     return pl.pallas_call(
         functools.partial(_scan_kernel, 0),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),

@@ -5,8 +5,11 @@ The reference refits a color model per text block on the host
 candidate masks, then a greedy merge of candidate connected components that
 reduce the byte-XOR distance to the predicted mask, then hole filling.  On a
 1-vCPU host that loop dominates page latency.  This module is the TPU-native
-re-design: all K block windows are processed in one batched dispatch at
-letterbox resolution, with the irregular parts recast as MXU/VPU work:
+re-design: all K block windows are processed in one batched dispatch at the
+ORIGINAL page resolution (the page upload already feeds the device
+letterbox; the raw mask upsamples on device — see
+pipeline/detector.py::_refine_on_device), with the irregular parts recast
+as MXU/VPU work:
 
 * window extraction / paste-back — gather-based separable bilinear
   (each output pixel reads its 2x2 taps; O(pixels), not O(pixels*S)),
@@ -21,12 +24,11 @@ letterbox resolution, with the irregular parts recast as MXU/VPU work:
   are accepted in parallel; candidates stay sequential in XOR-score order
   exactly like the reference.
 
-Windows no larger than S (the common case at letterbox resolution) are
-extracted 1:1 and the whole per-window pipeline is bit-exact against the
-host merge; larger windows are bilinearly resampled to S x S (IoU-gated in
-tests).  The remaining global deviation: refinement runs at letterbox
-resolution, where the reference works on the original-resolution page —
-end-to-end parity is gated by the golden-image IoU tests, not bit-exactness.
+Windows no larger than S are extracted 1:1 and the whole per-window
+pipeline is bit-exact against the host merge; larger windows are bilinearly
+resampled to S x S (IoU-gated in tests) — that resampling is the only
+deviation from the reference, and end-to-end parity on it is gated by the
+golden-image IoU tests (tests/test_flagship_parity.py).
 """
 
 from __future__ import annotations
@@ -77,21 +79,29 @@ def _sample_coords(lo, hi, n_src: int, n_dst: int):
 
 
 def extract_windows(
-    img: jax.Array, mask: jax.Array, boxes: jax.Array
+    img: jax.Array, mask: jax.Array, boxes: jax.Array, page_ids: jax.Array | None = None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Extract K boxes of (img, mask) into fixed (K, S, S[, 3]) uint8 windows.
 
-    img (H, W, 3) uint8 BGR, mask (H, W) uint8, boxes (K, 4) int32 xyxy.
-    Returns (window imgs, window masks, in_window validity (K, S, S) bool);
-    pixels outside the true box are zeroed.
+    img (H, W, 3) or (P, H, W, 3) uint8 BGR, mask (H, W) / (P, H, W) uint8,
+    boxes (K, 4) int32 xyxy, page_ids (K,) int32 into the page stack (None =
+    single page).  Returns (window imgs, window masks, in_window validity
+    (K, S, S) bool); pixels outside the true box are zeroed.
 
     Sampling is gather-based separable bilinear (each output pixel reads its
     2x2 source taps) — O(K*S*S) work.  The earlier interpolation-matrix
     einsum formulation was O(K*S*H*W) (~10 TFLOP per dispatch on a real
-    page), which made refinement the pipeline bottleneck.
+    page), which made refinement the pipeline bottleneck.  Stacked pages
+    simply flatten to P*H gatherable rows, so windows from a whole batch of
+    same-shaped pages share one dispatch (no per-page padding waste).
     """
-    h, w = mask.shape
-    planes = jnp.concatenate([img, mask[..., None]], axis=-1).astype(jnp.float32)  # (H, W, 4)
+    if mask.ndim == 2:
+        img, mask = img[None], mask[None]
+    p, h, w = mask.shape
+    if page_ids is None:
+        page_ids = jnp.zeros((boxes.shape[0],), jnp.int32)
+    planes = jnp.concatenate([img, mask[..., None]], axis=-1).astype(jnp.float32)
+    planes = planes.reshape(p * h, w, 4)  # page stack -> flat gatherable rows
 
     def coords(b):
         x_hi, y_hi = _ext_hi(b)
@@ -103,8 +113,9 @@ def extract_windows(
         return y0, y1, fy, x0, x1, fx, vy[:, None] & vx[None, :]
 
     y0, y1, fy, x0, x1, fx, in_window = jax.vmap(coords)(boxes)  # (K,S) each
-    rows0 = planes[y0.reshape(-1)].reshape(y0.shape + planes.shape[1:])  # (K,S,W,4)
-    rows1 = planes[y1.reshape(-1)].reshape(y1.shape + planes.shape[1:])
+    off = (page_ids * h)[:, None]  # row offset of each window's page
+    rows0 = planes[(off + y0).reshape(-1)].reshape(y0.shape + planes.shape[1:])  # (K,S,W,4)
+    rows1 = planes[(off + y1).reshape(-1)].reshape(y1.shape + planes.shape[1:])
     rows = rows0 * (1.0 - fy)[..., None, None] + rows1 * fy[..., None, None]
     cols0 = jnp.take_along_axis(rows, x0[:, None, :, None], axis=2)  # (K,S,S,4)
     cols1 = jnp.take_along_axis(rows, x1[:, None, :, None], axis=2)
@@ -114,8 +125,18 @@ def extract_windows(
     return out[..., :3], out[..., 3], in_window
 
 
-def paste_windows(merged: jax.Array, boxes: jax.Array, valid: jax.Array, out_hw) -> jax.Array:
-    """OR the (K, S, S) uint8 0/255 window masks back onto an (H, W) canvas.
+def paste_windows(
+    merged: jax.Array,
+    boxes: jax.Array,
+    valid: jax.Array,
+    out_hw,
+    page_ids: jax.Array | None = None,
+    n_pages: int = 1,
+) -> jax.Array:
+    """OR the (K, S, S) uint8 0/255 window masks back onto (H, W) canvases.
+
+    Returns (H, W) when ``page_ids`` is None, else (n_pages, H, W) with each
+    window routed to its page's canvas.
 
     Gather formulation: every canvas pixel samples its window-coordinate
     2x2 taps from the (K, S, S) merged masks (O(K*H*W) elementwise work;
@@ -147,7 +168,12 @@ def paste_windows(merged: jax.Array, boxes: jax.Array, valid: jax.Array, out_hw)
         return (v > 127.0) & iy[:, None] & ix[None, :]
 
     on = jax.vmap(one)(m, boxes) & valid[:, None, None]
-    return jnp.where(jnp.any(on, axis=0), jnp.uint8(255), jnp.uint8(0))
+    if page_ids is None:
+        return jnp.where(jnp.any(on, axis=0), jnp.uint8(255), jnp.uint8(0))
+    per_page = jax.vmap(
+        lambda pg: jnp.any(on & (page_ids == pg)[:, None, None], axis=0)
+    )(jnp.arange(n_pages, dtype=jnp.int32))
+    return jnp.where(per_page, jnp.uint8(255), jnp.uint8(0))
 
 
 # ---------------------------------------------------------------------------
@@ -261,14 +287,20 @@ ROWS = S + GAP  # stacked rows per window
 GAPC = 128  # column gap between stacked-grid columns (Mosaic 128-lane unit)
 
 
-def _stacked_cc(cands: jax.Array) -> jax.Array:
+def _stacked_cc(cands: jax.Array, backend: str | None = None) -> jax.Array:
     """CC-label N windows in a single pass over a 2-D grid layout.
 
     cands (N, S, S) bool -> (N, S, S) int32 window-local root indices
     (row * S + col of the component min pixel), _BIG on background.
 
-    Windows stack SLOTS-tall into ``g = ceil(N / SLOTS)`` grid columns
-    separated by GAPC background columns (8-row gaps break vertical
+    ``backend``: 'local' = per-window in-VMEM Pallas fixpoint kernel (the
+    TPU default), 'grid' = all windows stacked onto one canvas through the
+    global CC sweeps (the off-TPU default; also the independent oracle the
+    hardware CC equality check in scripts/profile_refine.py compares
+    against).
+
+    In grid mode windows stack SLOTS-tall into ``g = ceil(N / SLOTS)`` grid
+    columns separated by GAPC background columns (8-row gaps break vertical
     connectivity, the column gaps horizontal).  The grid keeps the column
     height at SLOTS*ROWS regardless of N, so one CC invocation can label
     e.g. all 4 candidate sets of a refine dispatch at once while the Pallas
@@ -277,7 +309,9 @@ def _stacked_cc(cands: jax.Array) -> jax.Array:
     from comic_text_detector_tpu.ops.cc import connected_components
 
     n = cands.shape[0]
-    if jax.default_backend() == "tpu":
+    if backend is None:
+        backend = "local" if jax.default_backend() == "tpu" else "grid"
+    if backend == "local":
         # per-window in-VMEM fixpoint kernel: rounds cost no HBM traffic and
         # each window stops at its own convergence (the global grid pass
         # paid ~70 full-canvas HBM rounds on serpentine candidates)
@@ -308,6 +342,23 @@ def _stacked_cc(cands: jax.Array) -> jax.Array:
     return out[:n]
 
 
+def _component_ids(fg: jax.Array, backend: str | None = None) -> jax.Array:
+    """fg (K, S, S) bool -> 1-based compact component ids (0 = background),
+    raster-ordered by component root.
+
+    On TPU the Pallas kernel computes the ids in-VMEM (labels + ranks +
+    rank propagation, zero HBM gathers); elsewhere the grid CC + cumsum/
+    gather compaction serves (CPU gathers are cheap, and it doubles as the
+    independent oracle for the hardware equality check)."""
+    if backend is None:
+        backend = "local" if jax.default_backend() == "tpu" else "grid"
+    if backend == "local":
+        from comic_text_detector_tpu.ops.pallas_kernels import cc_ids_windows_local
+
+        return cc_ids_windows_local(fg.astype(jnp.uint8))
+    return _compact_ids(_stacked_cc(fg, backend=backend), fg)
+
+
 def _compact_ids(local_labels: jax.Array, fg: jax.Array) -> jax.Array:
     """Window-local root labels -> 1-based component ranks (0 = background).
     Scatter-free: a pixel is a root iff its label equals its own linear
@@ -322,31 +373,78 @@ def _compact_ids(local_labels: jax.Array, fg: jax.Array) -> jax.Array:
     return ids.reshape(k, S, S)
 
 
-def _component_sums(ids: jax.Array, quantities: jax.Array) -> jax.Array:
-    """Per-component sums via ONE batched scatter-add.
+_LO = 64  # low-radix width of the factored one-hot bincount (lane-friendly)
+
+
+def _component_sums(ids: jax.Array, quantities: jax.Array, matmul: bool | None = None) -> jax.Array:
+    """Per-component sums of 0/1 quantities, scatter-free.
 
     ids (K, S, S) int32 component ranks (0 = background; ranks >= CAP clip
     to 0, i.e. beyond-capacity components are never accepted — conservative
-    for noise-heavy candidates); quantities (Q, K, S, S) float32.
+    for noise-heavy candidates); quantities (Q, K, S, S) float32, each 0/1.
     Returns (Q, K, CAP) float32 sums.
 
-    A single scatter of (K*S*S, Q) rows replaces the earlier chunked
-    one-hot-matmul scan, which materialized ~2 GB of one-hot tensors per
-    call and dominated the refine dispatch (~50 ms vs ~8 ms)."""
+    TPU scatters serialize (~10 ms per 0.5M-row scatter — they were the fat
+    half of the refine dispatch).  Instead the rank factors as
+    ``id = hi*_LO + lo`` and the bincount becomes one batched MXU matmul
+    between the two one-hot factors:  out[hi, lo] = sum_n q_n * [hi_n==hi] *
+    [lo_n==lo].  The factored one-hots are (N, CAP/_LO) + (N, _LO) instead
+    of the (N, CAP) full one-hot (32x less HBM traffic), and 0/1 bf16
+    operands with f32 accumulation keep integer counts < 2^24 exact."""
     q, k = quantities.shape[0], ids.shape[0]
     flat = jnp.where(ids < CAP, ids, 0).reshape(k, S * S)
+    if matmul is None:
+        matmul = jax.default_backend() == "tpu"
+    if matmul:
+        # bf16 operands ride the MXU natively; CPU XLA lacks bf16 dots, so
+        # the (equally exact for 0/1 values) f32 form serves tests there
+        dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        hi = flat // _LO
+        lo = flat % _LO
+        oh_hi = hi[:, :, None] == jnp.arange(CAP // _LO, dtype=jnp.int32)[None, None, :]
+        oh_lo = lo[:, :, None] == jnp.arange(_LO, dtype=jnp.int32)[None, None, :]
+        qb = quantities.reshape(q, k, S * S) != 0
+        lhs = (oh_hi[None] & qb[..., None]).astype(dt)  # (Q, K, N, HI)
+        out = jnp.einsum(
+            "qknh,knl->qkhl",
+            lhs,
+            oh_lo.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(q, k, CAP)
+    # off-TPU (tests): one batched scatter-add, which CPU handles well
     gid = (jnp.arange(k, dtype=jnp.int32)[:, None] * CAP + flat).reshape(-1)
     vals = quantities.reshape(q, -1).T  # (k*S*S, q)
     out = jnp.zeros((k * CAP, q), jnp.float32).at[gid].add(vals)
     return out.reshape(k, CAP, q).transpose(2, 0, 1)
 
 
-def _take_accept(ids: jax.Array, accept: jax.Array) -> jax.Array:
+def _take_accept(ids: jax.Array, accept: jax.Array, matmul: bool | None = None) -> jax.Array:
     """(K, CAP) per-component accept bits -> (K, S, S) pixel mask (bucket 0
-    = background and beyond-capacity ranks are never accepted)."""
+    = background and beyond-capacity ranks are never accepted).
+
+    On TPU the table lookup runs gather-free through the same ``id = hi*_LO
+    + lo`` factorization as :func:`_component_sums`: contract the low-radix
+    one-hot against the (HI, _LO)-shaped table on the MXU, then select the
+    high radix with a fused compare+reduce (XLA per-element gathers measured
+    ~12 ms/M on v5e; this is ~0.3 ms for a full dispatch)."""
     k = ids.shape[0]
     acc = accept.at[:, 0].set(False)
     flat = jnp.where(ids < CAP, ids, 0).reshape(k, S * S)
+    if matmul is None:
+        matmul = jax.default_backend() == "tpu"
+    if matmul:
+        dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        hi = flat // _LO
+        lo = flat % _LO
+        table = acc.reshape(k, CAP // _LO, _LO).astype(dt)  # (K, HI, LO)
+        oh_lo = (lo[:, :, None] == jnp.arange(_LO, dtype=jnp.int32)[None, None, :]).astype(dt)
+        picked = jnp.einsum(
+            "knl,khl->knh", oh_lo, table, preferred_element_type=jnp.float32
+        )  # (K, N, HI) — 0/1 values
+        oh_hi = hi[:, :, None] == jnp.arange(CAP // _LO, dtype=jnp.int32)[None, None, :]
+        out = jnp.sum(jnp.where(oh_hi, picked, 0.0), axis=2) > 0.5
+        return out.reshape(ids.shape)
     return jnp.take_along_axis(acc, flat, axis=1).reshape(ids.shape)
 
 
@@ -391,7 +489,7 @@ def _merge_labeled(merged: jax.Array, fg: jax.Array, ids: jax.Array, pred: jax.A
 def _merge_candidate(merged: jax.Array, cand: jax.Array, pred: jax.Array) -> jax.Array:
     """CC + tiny-drop + :func:`_merge_labeled` for a single candidate set."""
     fg = _drop_tiny_components(cand)
-    ids = _compact_ids(_stacked_cc(fg), fg)
+    ids = _component_ids(fg)
     return _merge_labeled(merged, fg, ids, pred)
 
 
@@ -403,7 +501,7 @@ def _fill_holes(merged: jax.Array, pred: jax.Array, in_window: jax.Array) -> jax
     its pixels are subtracted from that component's effective area and never
     adopted."""
     inv = ~merged
-    ids = _compact_ids(_stacked_cc(inv), inv)
+    ids = _component_ids(inv)
     on = (inv & pred & in_window).astype(jnp.float32)
     off = (inv & ~pred & in_window).astype(jnp.float32)
     ones = inv.astype(jnp.float32)
@@ -527,34 +625,40 @@ def _candidates(win_img: jax.Array, win_msk: jax.Array, in_window: jax.Array):
 
 
 def refine_windows(
-    img_lb: jax.Array,
-    mask_lb: jax.Array,
+    img: jax.Array,
+    mask: jax.Array,
     boxes: jax.Array,
     valid: jax.Array,
     refine_mode: int = REFINEMASK_INPAINT,
 ) -> jax.Array:
+    """Single-page wrapper over :func:`_refine_windows_jit` (returns (H, W))."""
     # refine_mode rides as a traced scalar so both modes share one
     # executable (a static-arg variant pair tripped an executable-cache
     # buffer-count bug on the multi-device CPU test backend)
-    return _refine_windows_jit(img_lb, mask_lb, boxes, valid, jnp.int32(refine_mode))
+    pids = jnp.zeros((boxes.shape[0],), jnp.int32)
+    return _refine_windows_jit(
+        img[None], mask[None], boxes, valid, pids, jnp.int32(refine_mode)
+    )[0]
 
 
 @jax.jit
 def _refine_windows_jit(
-    img_lb: jax.Array,
-    mask_lb: jax.Array,
+    img: jax.Array,
+    mask: jax.Array,
     boxes: jax.Array,
     valid: jax.Array,
+    page_ids: jax.Array,
     refine_mode: jax.Array,
 ) -> jax.Array:
-    """Refine K block windows in one device dispatch.
+    """Refine K block windows (possibly spanning pages) in one dispatch.
 
-    img_lb (H, W, 3) uint8 letterboxed BGR page; mask_lb (H, W) uint8 raw
-    predicted mask at the same resolution; boxes (K, 4) int32 xyxy windows
-    (already expanded/clamped); valid (K,) bool.  Returns the (H, W) uint8
-    0/255 refined canvas (OR of all window results).
+    img (P, H, W, 3) uint8 BGR page stack at ORIGINAL resolution; mask
+    (P, H, W) uint8 raw predicted masks (device-upsampled); boxes (K, 4)
+    int32 xyxy windows (already expanded/clamped); valid (K,) bool;
+    page_ids (K,) int32.  Returns (P, H, W) uint8 0/255 refined canvases
+    (OR of each page's window results).
     """
-    win_img, win_msk, in_window = extract_windows(img_lb, mask_lb, boxes)
+    win_img, win_msk, in_window = extract_windows(img, mask, boxes, page_ids)
     cands, xors = _candidates(win_img, win_msk, in_window)  # (4,K,S,S), (4,K)
 
     # eroded+binarized prediction target (textmask.py:88-91); the window edge
@@ -568,7 +672,7 @@ def _refine_windows_jit(
     # all 4 candidate sets in ONE grid-stacked CC pass (4 grid columns);
     # only the cheap accept/merge math stays sequential in XOR-score order
     fgs = _drop_tiny_components((cands > 0).reshape(4 * k, S, S))
-    ids_all = _compact_ids(_stacked_cc(fgs), fgs).reshape(4, k, S, S)
+    ids_all = _component_ids(fgs).reshape(4, k, S, S)
     fgs = fgs.reshape(4, k, S, S)
     merged = jnp.zeros((k, S, S), bool)
     for rank in range(4):
@@ -582,7 +686,9 @@ def _refine_windows_jit(
     merged = _fill_holes(merged, pred, in_window)
 
     out = (merged.astype(jnp.uint8)) * 255
-    return paste_windows(out, boxes, valid, mask_lb.shape)
+    return paste_windows(
+        out, boxes, valid, mask.shape[-2:], page_ids=page_ids, n_pages=mask.shape[0]
+    )
 
 
 # Windows per dispatch: one compiled executable serves any page.  8 slots
@@ -593,18 +699,27 @@ def _refine_windows_jit(
 SLOTS = 8
 
 
-def refine_page(img_lb, mask_lb, window_boxes, refine_mode: int = REFINEMASK_INPAINT):
-    """Refine an arbitrary number of block windows on device.
+def refine_pages(
+    imgs: jax.Array,
+    masks: jax.Array,
+    window_boxes,
+    page_ids,
+    refine_mode: int = REFINEMASK_INPAINT,
+) -> jax.Array:
+    """Refine an arbitrary number of block windows across a page stack.
 
-    ``window_boxes``: (N, 4) int array/list of xyxy windows in letterbox
-    coords (already expanded+clamped).  Pads to SLOTS-sized dispatches so a
-    single executable serves every page, and ORs the canvases.
+    imgs (P, H, W, 3) uint8, masks (P, H, W) uint8, window_boxes (N, 4)
+    int xyxy in page coords (already expanded+clamped), page_ids (N,) int.
+    Windows from ALL pages pack into shared SLOTS-sized dispatches (a
+    20-block page no longer serializes 3 padded dispatches on its own) and
+    the per-page canvases OR across chunks.  Returns (P, H, W) uint8.
     """
     import numpy as np
 
     boxes = np.asarray(window_boxes, np.int32).reshape(-1, 4)
+    pids = np.asarray(page_ids, np.int32).reshape(-1)
     n = len(boxes)
-    canvas = None
+    canvases = None
     for start in range(0, max(n, 1), SLOTS):
         chunk = boxes[start:start + SLOTS]
         valid = np.zeros((SLOTS,), bool)
@@ -612,8 +727,23 @@ def refine_page(img_lb, mask_lb, window_boxes, refine_mode: int = REFINEMASK_INP
         padded = np.zeros((SLOTS, 4), np.int32)
         padded[:, 2:] = 1  # degenerate-but-valid geometry for empty slots
         padded[: len(chunk)] = chunk
-        c = refine_windows(img_lb, mask_lb, jnp.asarray(padded), jnp.asarray(valid), refine_mode)
-        canvas = c if canvas is None else jnp.bitwise_or(canvas, c)
-    if canvas is None:
-        canvas = jnp.zeros(mask_lb.shape, jnp.uint8)
-    return canvas
+        pchunk = np.zeros((SLOTS,), np.int32)
+        pchunk[: len(chunk)] = pids[start:start + len(chunk)]
+        c = _refine_windows_jit(
+            imgs, masks, jnp.asarray(padded), jnp.asarray(valid),
+            jnp.asarray(pchunk), jnp.int32(refine_mode),
+        )
+        canvases = c if canvases is None else jnp.bitwise_or(canvases, c)
+    if canvases is None:
+        canvases = jnp.zeros(masks.shape, jnp.uint8)
+    return canvases
+
+
+def refine_page(img, mask, window_boxes, refine_mode: int = REFINEMASK_INPAINT):
+    """Single-page :func:`refine_pages` (returns the (H, W) canvas)."""
+    import numpy as np
+
+    n = len(np.asarray(window_boxes).reshape(-1, 4))
+    return refine_pages(
+        img[None], mask[None], window_boxes, np.zeros((n,), np.int32), refine_mode
+    )[0]

@@ -123,13 +123,17 @@ def resize_cv2exact_u8_np(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarra
         return img.copy()
     sx, a0, a1 = _cv2_linear_coefs(ow, w)
     sy, b0, b1 = _cv2_linear_coefs(oh, h)
+    # the +1 tap has weight 0 when clamped (src==1 degenerate axis) — clamp
+    # so numpy fancy indexing cannot go out of bounds (jnp.take self-clamps)
+    sx1 = np.minimum(sx + 1, w - 1)
+    sy1 = np.minimum(sy + 1, h - 1)
     im = img.astype(np.int32)
     exp = (slice(None), None, None) if img.ndim == 3 else (slice(None), None)
     if img.ndim == 3:
-        row = im[:, sx] * a0[None, :, None] + im[:, sx + 1] * a1[None, :, None]
+        row = im[:, sx] * a0[None, :, None] + im[:, sx1] * a1[None, :, None]
     else:
-        row = im[:, sx] * a0[None, :] + im[:, sx + 1] * a1[None, :]
-    s0, s1 = row[sy], row[sy + 1]
+        row = im[:, sx] * a0[None, :] + im[:, sx1] * a1[None, :]
+    s0, s1 = row[sy], row[sy1]
     t = ((b0[exp] * (s0 >> 4)) >> 16) + ((b1[exp] * (s1 >> 4)) >> 16)
     out = np.clip((t + 2) >> 2, 0, 255)
     # vertically-copied rows (coef 2048/0) take cv2's 1-D cast instead:

@@ -118,10 +118,13 @@ class BatchTextDetector:
         size = self.size
         metas = []
         lbs = []
+        origs = []
         for img in pages:
             im_h, im_w = img.shape[:2]
             _, _, dw, dh, _ = letterbox_shape(im_h, im_w, size)
-            lbs.append(letterbox_device_u8(jnp.asarray(img), size))
+            orig = jnp.asarray(img)  # one upload serves letterbox AND refine
+            origs.append(orig)
+            lbs.append(letterbox_device_u8(orig, size))
             metas.append((im_h, im_w, dw, dh))
         while len(lbs) < self.batch_size:
             lbs.append(jnp.zeros((size, size, 3), jnp.uint8))
@@ -143,7 +146,7 @@ class BatchTextDetector:
         for o in jax.tree_util.tree_leaves(outputs):
             o.copy_to_host_async()
         # device-resident extras for the on-device refinement stage
-        extras = (device_batch, masks_full) if self.refine_backend == "device" else None
+        extras = (origs, masks_full) if self.refine_backend == "device" else None
         return outputs, metas, list(pages), extras
 
     def collect(
@@ -156,7 +159,6 @@ class BatchTextDetector:
         size = self.size
         rows, counts, masks_out, dboxes, dscores, dvalid = jax.device_get(outputs)
         staged = []
-        refine_tickets = []
         for i, page in enumerate(pages):
             im_h, im_w, dw, dh = metas[i]
             resize_ratio = (im_w / (size - dw), im_h / (size - dh))
@@ -187,15 +189,11 @@ class BatchTextDetector:
                 lines = lines.astype(np.int32)
             blk_list = group_output(blks, lines, im_w, im_h, mask)
             staged.append((mask, blk_list))
-            if self.refine_backend == "device":
-                # dispatch the refine for EVERY page first — device compute
-                # for page i+1 overlaps page i's packed canvas download
-                refine_tickets.append(
-                    self._submit_refine(
-                        extras[0][i], extras[1][i], blk_list, page.shape, resize_ratio,
-                        dw, dh, refine_mode,
-                    )
-                )
+
+        if self.refine_backend == "device":
+            refine_tickets = self._submit_refines(
+                extras, metas, pages, [bl for _, bl in staged], refine_mode
+            )
 
         out = []
         for i, page in enumerate(pages):
@@ -204,8 +202,8 @@ class BatchTextDetector:
                 mask_refined = self._finish_refine(refine_tickets[i])
                 if keep_undetected_mask:
                     mask_refined = self._rescue_undetected(
-                        extras[0][i], extras[1][i], mask_refined, blk_list,
-                        metas[i], page.shape, refine_mode,
+                        refine_tickets[i], mask_refined, mask, blk_list,
+                        page.shape, refine_mode,
                     )
             else:
                 mask_refined = refine_mask(page, mask, blk_list, refine_mode=refine_mode)
@@ -216,88 +214,74 @@ class BatchTextDetector:
             out.append((mask, mask_refined, blk_list))
         return out
 
-    def _submit_refine(self, lb_u8, mask_full, blk_list, img_shape, resize_ratio, dw, dh, refine_mode):
-        """Dispatch one page's batched window refinement; returns a ticket
-        for :meth:`_finish_refine` (see TextDetector._refine_on_device)."""
-        from comic_text_detector_tpu.ops.refine import refine_page
-        from comic_text_detector_tpu.pipeline.detector import _pack_canvas
+    def _submit_refines(self, extras, metas, pages, blk_lists, refine_mode):
+        """Dispatch the whole batch's window refinement at ORIGINAL page
+        resolution (same semantics as TextDetector._refine_on_device —
+        sub-256px windows bit-exact vs the host merge).  Windows from all
+        same-shaped pages pack into shared SLOTS dispatches (ops/refine.py::
+        refine_pages), so a 20-block page no longer serializes 3 padded
+        dispatches on its own.  Returns one ticket per page."""
+        from comic_text_detector_tpu.ops.refine import refine_pages
+        from comic_text_detector_tpu.pipeline.detector import _pack_canvas, _upsample_mask
         from comic_text_detector_tpu.utils.imgproc import expand_textwindow
 
+        origs, masks_full = extras
         size = self.size
-        im_h, im_w = img_shape[:2]
-        content_w, content_h = size - dw, size - dh
+        mask_devs = []
+        for i in range(len(pages)):
+            im_h, im_w, dw, dh = metas[i]
+            mask_devs.append(
+                _upsample_mask(masks_full[i], size - dh, size - dw, (im_h, im_w))
+            )
 
-        def to_lb(box):
-            x1, y1, x2, y2 = box
-            x1 = int(np.floor(x1 / resize_ratio[0]))
-            y1 = int(np.floor(y1 / resize_ratio[1]))
-            x2 = int(np.ceil(x2 / resize_ratio[0]))
-            y2 = int(np.ceil(y2 / resize_ratio[1]))
-            x1, y1 = max(0, min(x1, content_w - 1)), max(0, min(y1, content_h - 1))
-            x2, y2 = max(x1 + 1, min(x2, content_w)), max(y1 + 1, min(y2, content_h))
-            return [x1, y1, x2, y2]
-
-        windows = [to_lb(expand_textwindow(img_shape, blk.xyxy, expand_r=16)) for blk in blk_list]
-        canvas = refine_page(lb_u8, mask_full, np.asarray(windows).reshape(-1, 4), refine_mode)
-        packed = _pack_canvas(canvas)
-        packed.copy_to_host_async()
-        return packed, content_h, content_w, im_h, im_w
+        groups: dict = {}
+        for i, page in enumerate(pages):
+            groups.setdefault(page.shape[:2], []).append(i)
+        tickets = [None] * len(pages)
+        for shape, idxs in groups.items():
+            imgs = jnp.stack([origs[i] for i in idxs])
+            masks = jnp.stack([mask_devs[i] for i in idxs])
+            windows, pids = [], []
+            for gi, i in enumerate(idxs):
+                for blk in blk_lists[i]:
+                    windows.append(expand_textwindow(pages[i].shape, blk.xyxy, expand_r=16))
+                    pids.append(gi)
+            canvases = refine_pages(
+                imgs, masks,
+                np.asarray(windows, np.int32).reshape(-1, 4),
+                np.asarray(pids, np.int32), refine_mode,
+            )
+            packed = _pack_canvas(canvases)
+            packed.copy_to_host_async()
+            for gi, i in enumerate(idxs):
+                tickets[i] = (packed, canvases, imgs, masks, gi, shape)
+        return tickets
 
     def _finish_refine(self, ticket) -> np.ndarray:
-        packed, content_h, content_w, im_h, im_w = ticket
-        canvas_host = np.unpackbits(np.asarray(jax.device_get(packed)), axis=-1) * np.uint8(255)
-        refined = resize_bilinear_fast(canvas_host[:content_h, :content_w], (im_h, im_w))
-        return np.where(refined > 127, np.uint8(255), np.uint8(0))
+        packed, _canvases, _imgs, _masks, gi, shape = ticket
+        row = np.asarray(jax.device_get(packed[gi]))
+        # packbits pads the row tail; crop back to the page width
+        return (np.unpackbits(row, axis=-1) * np.uint8(255))[:, : shape[1]]
 
-    def _rescue_undetected(self, lb_u8, mask_full, refined, blk_list, meta, img_shape, refine_mode):
-        """Device analog of refine_undetected_mask for the batch path
-        (reference textmask.py:135-156), operating in letterbox coords: raw
-        mask components no block covers get their own refine dispatch."""
-        from comic_text_detector_tpu.ops.refine import refine_page
-        from comic_text_detector_tpu.pipeline.detector import _pack_canvas
-        from comic_text_detector_tpu.utils.imgproc import (
-            connected_components_with_stats,
-            expand_textwindow,
-            intersect_area,
-            threshold_binary,
+    def _rescue_undetected(self, ticket, refined, raw_mask, blk_list, img_shape, refine_mode):
+        """keep_undetected_mask for the batch path: identical original-
+        resolution semantics as the single-page pipeline (shared helper in
+        pipeline/detector.py; reference textmask.py:135-156)."""
+        from comic_text_detector_tpu.pipeline.detector import (
+            _pack_canvas,
+            _rescue_undetected_device,
         )
 
-        size = self.size
-        im_h, im_w, dw, dh = meta
-        content_h, content_w = size - dh, size - dw
-        sx, sy = content_w / im_w, content_h / im_h
-
-        raw_lb = np.asarray(jax.device_get(mask_full))[:content_h, :content_w]
-        refined_lb = resize_bilinear_fast(refined, (content_h, content_w))
-        rescue = raw_lb.copy()
-        rescue[refined_lb > 30] = 0
-        pred_t = threshold_binary(rescue, 30)
-        n, _labels, stats, _c = connected_components_with_stats(pred_t, 4)
-        lb_blks = [
-            [blk.xyxy[0] * sx, blk.xyxy[1] * sy, blk.xyxy[2] * sx, blk.xyxy[3] * sy]
-            for blk in blk_list
-        ]
-        boxes = []
-        for li in range(1, n):
-            x, y, w, h, area = stats[li]
-            if area <= 50:
-                continue
-            bbox = [x, y, x + w, y + h]
-            best = max((intersect_area(b, bbox) for b in lb_blks), default=-1)
-            if best / w / h < 0.5:
-                boxes.append(expand_textwindow((content_h, content_w), bbox, expand_r=16))
-        if not boxes:
+        _packed, canvases, imgs, masks, gi, shape = ticket
+        extra = _rescue_undetected_device(
+            imgs[gi], masks[gi], canvases[gi], refined, raw_mask, blk_list,
+            img_shape, refine_mode,
+        )
+        if extra is None:
             return refined
-        # stay at the full (size, size) letterbox shape: slicing would compile
-        # a new refine executable per page content shape
-        refined_pad = np.zeros((size, size), bool)
-        refined_pad[:content_h, :content_w] = refined_lb > 30
-        mask_dev = jnp.where(jnp.asarray(refined_pad), jnp.uint8(0), mask_full)
-        extra = refine_page(lb_u8, mask_dev, np.asarray(boxes), refine_mode)
         packed = np.asarray(jax.device_get(_pack_canvas(extra)))
-        extra_host = (np.unpackbits(packed, axis=-1) * np.uint8(255))[:content_h, :content_w]
-        extra_up = resize_bilinear_fast(extra_host, (im_h, im_w))
-        return np.where(extra_up > 127, np.uint8(255), refined)
+        extra_host = (np.unpackbits(packed, axis=-1) * np.uint8(255))[:, : shape[1]]
+        return np.where(extra_host > 0, np.uint8(255), refined)
 
     def process_batch(
         self,

@@ -95,8 +95,9 @@ class TextDetector:
         mask_transfer: str = "grey",
     ):
         # refine_backend: 'host' = the reference-parity CPU refine_mask;
-        # 'device' = batched TPU window refinement (ops/refine.py) at
-        # letterbox resolution — the throughput configuration.
+        # 'device' = batched TPU window refinement (ops/refine.py) at the
+        # ORIGINAL page resolution — the throughput configuration
+        # (sub-256px windows are bit-exact vs the host merge).
         # mask_transfer: 'grey' downloads the full grey mask (API parity);
         # 'packed' downloads a 1-bpp binarized (>30) mask — 8x fewer bytes
         # over remote-attached links; the returned mask is then 0/255.
@@ -294,32 +295,12 @@ class TextDetector:
             return (np.unpackbits(packed, axis=-1) * np.uint8(255))[:, :im_w]
 
         if undetected_mask is not None:
-            # rescue raw-mask components no block covers (reference
-            # textmask.py:135-156) — CC on the host copy, refine on device
-            rescue_mask = undetected_mask.copy()
             refined_orig = download_canvas(canvas)
-            rescue_mask[refined_orig > 30] = 0
-            # exclude already-refined areas from the rescue pred too
-            mask_dev = jnp.where(canvas > 30, jnp.uint8(0), mask_dev)
-            from comic_text_detector_tpu.utils.imgproc import (
-                connected_components_with_stats,
-                threshold_binary,
-                intersect_area,
+            extra = _rescue_undetected_device(
+                img_dev, mask_dev, canvas, refined_orig, undetected_mask,
+                blk_list, img_shape, refine_mode,
             )
-
-            pred_t = threshold_binary(rescue_mask, 30)
-            n, _labels, stats, _c = connected_components_with_stats(pred_t, 4)
-            boxes = []
-            for li in range(1, n):
-                x, y, w, h, area = stats[li]
-                if area <= 50:
-                    continue
-                bbox = [x, y, x + w, y + h]
-                best = max((intersect_area(blk.xyxy, bbox) for blk in blk_list), default=-1)
-                if best / w / h < 0.5:
-                    boxes.append(expand_textwindow(img_shape, bbox, expand_r=16))
-            if boxes:
-                extra = refine_page(img_dev, mask_dev, np.asarray(boxes), refine_mode)
+            if extra is not None:
                 canvas = jnp.bitwise_or(canvas, extra)
 
         return download_canvas(canvas)
@@ -345,6 +326,43 @@ class TextDetector:
         with open(path, "rb") as f:
             variables = ser.from_bytes(template, f.read())
         return cls(variables=variables, input_size=input_size, act=act, **kw)
+
+
+def _rescue_undetected_device(
+    img_dev, mask_dev, canvas, refined_host, undetected_mask, blk_list,
+    img_shape, refine_mode,
+):
+    """Rescue raw-mask components no block covers (reference
+    textmask.py:135-156) at original page resolution: CC over the host raw
+    mask minus the refined area picks the windows, the refine runs on
+    device.  Returns the extra device canvas, or None when nothing needs
+    rescuing.  Shared by the single-page and batch pipelines."""
+    from comic_text_detector_tpu.ops.refine import refine_page
+    from comic_text_detector_tpu.utils.imgproc import (
+        connected_components_with_stats,
+        expand_textwindow,
+        intersect_area,
+        threshold_binary,
+    )
+
+    rescue_mask = undetected_mask.copy()
+    rescue_mask[refined_host > 30] = 0
+    # exclude already-refined areas from the rescue pred too
+    mask_excl = jnp.where(canvas > 30, jnp.uint8(0), mask_dev)
+    pred_t = threshold_binary(rescue_mask, 30)
+    n, _labels, stats, _c = connected_components_with_stats(pred_t, 4)
+    boxes = []
+    for li in range(1, n):
+        x, y, w, h, area = stats[li]
+        if area <= 50:
+            continue
+        bbox = [x, y, x + w, y + h]
+        best = max((intersect_area(blk.xyxy, bbox) for blk in blk_list), default=-1)
+        if best / w / h < 0.5:
+            boxes.append(expand_textwindow(img_shape, bbox, expand_r=16))
+    if not boxes:
+        return None
+    return refine_page(img_dev, mask_excl, np.asarray(boxes), refine_mode)
 
 
 @jax.jit

@@ -131,6 +131,11 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
         as_uint8=True,
         with_ann=True,
     )
+    if hyp_data.get("cache_prepared"):
+        # cache letterboxed images + GT maps after first touch; per-epoch
+        # augments reduce to flip/HSV/negate on the cached arrays (the
+        # 1-vCPU host cannot hide per-sample map generation otherwise)
+        train_dataset.enable_prepared_cache()
     nb = len(train_loader)
     LOGGER.info(f"num training imgs: {len(train_dataset)}, num val imgs: {len(val_dataset)}")
 
@@ -205,7 +210,11 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
             if epoch_metrics[k]:
                 means[k] = float(jnp.mean(jnp.stack(epoch_metrics[k])))
 
-        if (epoch + 1) % eval_interval == 0 or (max_steps and total_steps >= max_steps):
+        if (
+            (epoch + 1) % eval_interval == 0
+            or epoch == epochs - 1
+            or (max_steps and total_steps >= max_steps)
+        ):
             recall, precision, fmeasure = eval_model(eval_step, state, val_loader, post_process, metric_cls)
             meta = {"epoch": epoch, "best_f1": best_f1, "date": datetime.now().isoformat()}
             save_best = best_f1 < fmeasure

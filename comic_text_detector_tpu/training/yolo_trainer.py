@@ -114,7 +114,11 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
                 break
         m_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
-        if (epoch + 1) % eval_interval == 0 or (max_steps and total_steps >= max_steps):
+        if (
+            (epoch + 1) % eval_interval == 0
+            or epoch == epochs - 1
+            or (max_steps and total_steps >= max_steps)
+        ):
             e = {"loss": 0.0, "lbox": 0.0, "lobj": 0.0, "lcls": 0.0}
             n = 0
             for imgs, labels, mask in val_loader:

@@ -55,6 +55,48 @@ def test_pallas_cc_matches_scipy(connectivity):
     np.testing.assert_array_equal(_canon(got), _canon(ref))
 
 
+def _serpentine(s: int) -> np.ndarray:
+    """Boustrophedon snake: the propagation worst case (~s/2 turns; the
+    BENCH_HISTORY ~70-round pattern came from shapes like this)."""
+    m = np.zeros((s, s), np.uint8)
+    m[::2, :] = 1
+    for r in range(0, s - 2, 2):
+        col = 0 if (r // 2) % 2 == 0 else s - 1
+        m[r + 1, col] = 1
+    return m
+
+
+def test_cc_ids_windows_local_interpret_production_scale():
+    """The production ids kernel (CC + in-VMEM rank compaction) at the real
+    S=256 window size, serpentine worst case + noise, interpret mode vs the
+    grid-CC + cumsum/gather compaction oracle."""
+    from comic_text_detector_tpu.ops import refine as R
+    from comic_text_detector_tpu.ops.pallas_kernels import cc_ids_windows_local
+
+    rng = np.random.default_rng(5)
+    s = R.S
+    masks = np.zeros((3, s, s), np.uint8)
+    masks[0] = _serpentine(s)
+    masks[1] = rng.random((s, s)) < 0.4
+    masks[2, 10:250, 10:250] = 1  # one big blob + holes
+    masks[2][rng.random((s, s)) < 0.1] = 0
+    fg = jnp.asarray(masks > 0)
+    got = np.asarray(cc_ids_windows_local(jnp.asarray(masks), True))
+    ref = np.asarray(R._compact_ids(R._stacked_cc(fg, backend="grid"), fg))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_take_accept_matmul_matches_gather():
+    from comic_text_detector_tpu.ops import refine as R
+
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(0, R.CAP + 32, (2, R.S, R.S)), jnp.int32)
+    accept = jnp.asarray(rng.random((2, R.CAP)) < 0.5)
+    a = np.asarray(R._take_accept(ids, accept, matmul=False))
+    b = np.asarray(R._take_accept(ids, accept, matmul=True))
+    np.testing.assert_array_equal(b, a)
+
+
 def test_cc_windows_local_interpret():
     """Per-window in-VMEM CC kernel (interpret mode) vs the XLA CC path."""
     import numpy as np

@@ -80,10 +80,11 @@ def test_flagship_1024_golden(flagship_pair):
     iou = np.logical_and(a, b).sum() / max(np.logical_or(a, b).sum(), 1)
     assert iou >= 0.99, f"mask IoU {iou:.4f}"
 
-    # --- refined mask parity ---
+    # --- refined mask parity (0.991 measured; gate at the achieved margin
+    # so regressions can't hide in a loose band) ---
     ar, br = my_refined > 0, ref_refined > 0
     iou_r = np.logical_and(ar, br).sum() / max(np.logical_or(ar, br).sum(), 1)
-    assert iou_r >= 0.95, f"refined IoU {iou_r:.4f}"
+    assert iou_r >= 0.985, f"refined IoU {iou_r:.4f}"
 
     # --- block list: IoU-matched geometry + reading order ------------------
     # Detections whose conf sits within float noise of conf_thresh (0.4) can

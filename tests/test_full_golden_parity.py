@@ -73,7 +73,10 @@ def test_full_pipeline_golden(both_detectors):
     union_r = np.logical_or(ar, br).sum()
     if union_r:
         iou_r = np.logical_and(ar, br).sum() / union_r
-        assert iou_r >= 0.90, f"refined mask IoU {iou_r:.4f}"
+        # random-weights 256px page; superseded in value by the trained
+        # flagship golden (test_flagship_parity.py) but still tightened to
+        # the measured margin so it can catch gross refine regressions
+        assert iou_r >= 0.97, f"refined mask IoU {iou_r:.4f}"
 
     # --- block list parity: count, reading order, geometry ---
     assert len(my_blks) == len(ref_blks), f"{len(my_blks)} vs {len(ref_blks)} blocks"

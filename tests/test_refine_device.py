@@ -103,6 +103,19 @@ def test_refine_page_empty():
     assert c.sum() == 0
 
 
+def test_component_sums_matmul_matches_scatter():
+    """The TPU factored one-hot-matmul bincount must agree exactly with the
+    scatter-add formulation (0/1 bf16 operands + f32 accumulation keep
+    integer counts exact)."""
+    rng = np.random.default_rng(11)
+    k = 3
+    ids = jnp.asarray(rng.integers(0, R.CAP + 64, (k, R.S, R.S)), jnp.int32)
+    quantities = jnp.asarray((rng.random((4, k, R.S, R.S)) < 0.3), jnp.float32)
+    via_scatter = np.asarray(R._component_sums(ids, quantities, matmul=False))
+    via_matmul = np.asarray(R._component_sums(ids, quantities, matmul=True))
+    np.testing.assert_array_equal(via_matmul, via_scatter)
+
+
 def test_batch_rescue_undetected(monkeypatch):
     """keep_undetected_mask on the batch device path: a raw-mask component no
     block covers gets refined in (reference textmask.py:135-156)."""
