@@ -323,9 +323,16 @@ def _cc_ids_kernel(m_ref, o_ref):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def cc_ids_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> jax.Array:
-    """Per-window CC + compact ids for (N, S, S) uint8 masks -> (N, S, S)
-    int32 1-based component ids (0 = background), one grid step per window."""
+    """Per-window CC + compact ids for (N, sh, sw) uint8 masks -> (N, sh, sw)
+    int32 1-based component ids (0 = background), one grid step per window.
+    Window shapes up to 512x512 / 256x640 fit the ~9-live-i32 scoped-VMEM
+    budget (512*512*4*9 = 9.4 MB < 16 MB); larger shapes fail loudly."""
     n, s1, s2 = masks_u8.shape
+    if s1 * s2 > 512 * 512:
+        raise ValueError(
+            f"cc_ids_windows_local: window {s1}x{s2} exceeds the in-VMEM "
+            "fixpoint budget (max 512*512 elements)"
+        )
     return pl.pallas_call(
         _cc_ids_kernel,
         out_shape=jax.ShapeDtypeStruct((n, s1, s2), jnp.int32),

@@ -24,11 +24,14 @@ as MXU/VPU work:
   are accepted in parallel; candidates stay sequential in XOR-score order
   exactly like the reference.
 
-Windows no larger than S are extracted 1:1 and the whole per-window
-pipeline is bit-exact against the host merge; larger windows are bilinearly
-resampled to S x S (IoU-gated in tests) — that resampling is the only
-deviation from the reference, and end-to-end parity on it is gated by the
-golden-image IoU tests (tests/test_flagship_parity.py).
+Windows dispatch through SHAPE BUCKETS (BUCKETS below): each window goes to
+the smallest fixed kernel shape that fits it — (256, 256), wide (256, 640),
+tall (640, 256), or (512, 512) — and is extracted 1:1, making the whole
+per-window pipeline bit-exact against the host merge.  Resampling is
+catastrophic here (candidate thresholds and component topology are
+discrete: a 10% downscale flipped whole components, window IoU vs host as
+low as 0.40 measured), so only windows exceeding the largest bucket — rare
+at real page sizes — fall back to bilinear resampling into (512, 512).
 """
 
 from __future__ import annotations
@@ -41,10 +44,22 @@ import jax.numpy as jnp
 
 from comic_text_detector_tpu.constants import REFINEMASK_INPAINT
 
-S = 256  # fixed window side (letterbox-resolution blocks rarely exceed this)
+S = 256  # default window side (the smallest bucket; kept for tests/back-compat)
 GAP = 8  # background rows between stacked windows (breaks 8-connectivity)
-CAP = 2048  # per-window component capacity for segment reductions
+CAP = 2048  # default per-window component capacity for segment reductions
 _BIG = 2**30  # python int: module-level jnp arrays become committed captured constants
+
+# (win_h, win_w, slots_per_dispatch, component_capacity) — smallest first.
+# Every shape fits the Pallas CC kernel's scoped-VMEM budget (~9 live i32
+# copies: 512*512*4*9 = 9.4 MB < 16 MB); slots shrink with window area so
+# each dispatch stays a similar device-time quantum; capacity grows with
+# area so noisy candidates don't overflow the component tables.
+BUCKETS = (
+    (256, 256, 8, 2048),
+    (256, 640, 4, 8192),  # wide blocks (horizontal titles/rows)
+    (640, 256, 4, 8192),  # tall blocks (vertical ja columns)
+    (512, 512, 2, 8192),  # big blocks; doubles as the resample fallback
+)
 
 
 # ---------------------------------------------------------------------------
@@ -52,13 +67,14 @@ _BIG = 2**30  # python int: module-level jnp arrays become committed captured co
 # ---------------------------------------------------------------------------
 
 
-def _ext_hi(b):
-    """Effective source extents: windows smaller than S are extracted 1:1
-    (exact pixel copies, padded to S with a validity mask) so the whole
+def _ext_hi(b, win_hw):
+    """Effective source extents: windows no larger than win_hw are extracted
+    1:1 (exact pixel copies, padded with a validity mask) so the whole
     per-window pipeline is bit-exact against the host path; only windows
-    larger than S get resampled."""
-    x_hi = jnp.maximum(b[2], b[0] + S)
-    y_hi = jnp.maximum(b[3], b[1] + S)
+    larger than the bucket get resampled."""
+    sh, sw = win_hw
+    x_hi = jnp.maximum(b[2], b[0] + sw)
+    y_hi = jnp.maximum(b[3], b[1] + sh)
     return x_hi, y_hi
 
 
@@ -79,9 +95,13 @@ def _sample_coords(lo, hi, n_src: int, n_dst: int):
 
 
 def extract_windows(
-    img: jax.Array, mask: jax.Array, boxes: jax.Array, page_ids: jax.Array | None = None
+    img: jax.Array,
+    mask: jax.Array,
+    boxes: jax.Array,
+    page_ids: jax.Array | None = None,
+    win_hw: Tuple[int, int] = (S, S),
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Extract K boxes of (img, mask) into fixed (K, S, S[, 3]) uint8 windows.
+    """Extract K boxes of (img, mask) into fixed (K, sh, sw[, 3]) uint8 windows.
 
     img (H, W, 3) or (P, H, W, 3) uint8 BGR, mask (H, W) / (P, H, W) uint8,
     boxes (K, 4) int32 xyxy, page_ids (K,) int32 into the page stack (None =
@@ -95,6 +115,7 @@ def extract_windows(
     simply flatten to P*H gatherable rows, so windows from a whole batch of
     same-shaped pages share one dispatch (no per-page padding waste).
     """
+    sh, sw = win_hw
     if mask.ndim == 2:
         img, mask = img[None], mask[None]
     p, h, w = mask.shape
@@ -104,12 +125,13 @@ def extract_windows(
     planes = planes.reshape(p * h, w, 4)  # page stack -> flat gatherable rows
 
     def coords(b):
-        x_hi, y_hi = _ext_hi(b)
-        y0, y1, fy = _sample_coords(b[1], y_hi, h, S)
-        x0, x1, fx = _sample_coords(b[0], x_hi, w, S)
-        d = jnp.arange(S, dtype=jnp.int32)
-        vy = (b[1] + d < b[3]) | (b[3] - b[1] > S)
-        vx = (b[0] + d < b[2]) | (b[2] - b[0] > S)
+        x_hi, y_hi = _ext_hi(b, win_hw)
+        y0, y1, fy = _sample_coords(b[1], y_hi, h, sh)
+        x0, x1, fx = _sample_coords(b[0], x_hi, w, sw)
+        dy = jnp.arange(sh, dtype=jnp.int32)
+        dx = jnp.arange(sw, dtype=jnp.int32)
+        vy = (b[1] + dy < b[3]) | (b[3] - b[1] > sh)
+        vx = (b[0] + dx < b[2]) | (b[2] - b[0] > sw)
         return y0, y1, fy, x0, x1, fx, vy[:, None] & vx[None, :]
 
     y0, y1, fy, x0, x1, fx, in_window = jax.vmap(coords)(boxes)  # (K,S) each
@@ -132,34 +154,38 @@ def paste_windows(
     out_hw,
     page_ids: jax.Array | None = None,
     n_pages: int = 1,
+    win_hw: Tuple[int, int] | None = None,
 ) -> jax.Array:
-    """OR the (K, S, S) uint8 0/255 window masks back onto (H, W) canvases.
+    """OR the (K, sh, sw) uint8 0/255 window masks back onto (H, W) canvases,
+    resampling windows larger than their bucket back to box size.
 
     Returns (H, W) when ``page_ids`` is None, else (n_pages, H, W) with each
     window routed to its page's canvas.
 
     Gather formulation: every canvas pixel samples its window-coordinate
-    2x2 taps from the (K, S, S) merged masks (O(K*H*W) elementwise work;
-    the old per-window paste-matrix einsums were O(K*H*W*S))."""
+    2x2 taps from the (K, sh, sw) merged masks (O(K*H*W) elementwise work).
+    This is the RESAMPLE-capable paste; exact-bucket dispatches use the
+    O(K*sh*sw) :func:`paste_windows_exact` instead."""
     h, w = out_hw
+    sh, sw = win_hw or merged.shape[-2:]
     m = merged.astype(jnp.float32)
 
     def one(mk, b):
-        x_hi, y_hi = _ext_hi(b)
+        x_hi, y_hi = _ext_hi(b, (sh, sw))
         span_y = jnp.maximum((y_hi - b[1]).astype(jnp.float32), 1.0)
         span_x = jnp.maximum((x_hi - b[0]).astype(jnp.float32), 1.0)
-        yy = (jnp.arange(h, dtype=jnp.float32) - b[1] + 0.5) * S / span_y - 0.5
-        xx = (jnp.arange(w, dtype=jnp.float32) - b[0] + 0.5) * S / span_x - 0.5
-        yy = jnp.clip(yy, 0.0, S - 1.0)
-        xx = jnp.clip(xx, 0.0, S - 1.0)
+        yy = (jnp.arange(h, dtype=jnp.float32) - b[1] + 0.5) * sh / span_y - 0.5
+        xx = (jnp.arange(w, dtype=jnp.float32) - b[0] + 0.5) * sw / span_x - 0.5
+        yy = jnp.clip(yy, 0.0, sh - 1.0)
+        xx = jnp.clip(xx, 0.0, sw - 1.0)
         y0 = jnp.floor(yy)
         x0 = jnp.floor(xx)
         fy = yy - y0
         fx = xx - x0
         y0i = y0.astype(jnp.int32)
         x0i = x0.astype(jnp.int32)
-        y1i = jnp.minimum(y0i + 1, S - 1)
-        x1i = jnp.minimum(x0i + 1, S - 1)
+        y1i = jnp.minimum(y0i + 1, sh - 1)
+        x1i = jnp.minimum(x0i + 1, sw - 1)
         top = mk[y0i][:, x0i] * (1 - fx)[None, :] + mk[y0i][:, x1i] * fx[None, :]
         bot = mk[y1i][:, x0i] * (1 - fx)[None, :] + mk[y1i][:, x1i] * fx[None, :]
         v = top * (1 - fy)[:, None] + bot * fy[:, None]
@@ -174,6 +200,37 @@ def paste_windows(
         lambda pg: jnp.any(on & (page_ids == pg)[:, None, None], axis=0)
     )(jnp.arange(n_pages, dtype=jnp.int32))
     return jnp.where(per_page, jnp.uint8(255), jnp.uint8(0))
+
+
+def paste_windows_exact(
+    merged: jax.Array,
+    boxes: jax.Array,
+    valid: jax.Array,
+    out_hw,
+    page_ids: jax.Array,
+    n_pages: int,
+) -> jax.Array:
+    """OR 1:1-extracted window masks onto per-page canvases at their box
+    positions: one dynamic_slice + dynamic_update_slice per window —
+    O(K*sh*sw) instead of the resampling paste's O(K*H*W) (34x less work
+    for a 256px window on a full page).  Valid only for exact buckets
+    (windows never larger than (sh, sw)); ``merged`` is already zero outside
+    each window's true box (the in_window masking), so the read-OR-write
+    cannot disturb canvas pixels outside the box.  The canvas is padded by
+    the window size so edge boxes never trigger dynamic_slice's start
+    clamping."""
+    h, w = out_hw
+    k, sh, sw = merged.shape
+    m = jnp.where(valid[:, None, None], merged, 0)
+    canvas = jnp.zeros((n_pages, h + sh, w + sw), jnp.uint8)
+
+    def body(i, cv):
+        start = (page_ids[i], boxes[i, 1], boxes[i, 0])
+        cur = jax.lax.dynamic_slice(cv, start, (1, sh, sw))
+        return jax.lax.dynamic_update_slice(cv, jnp.bitwise_or(cur, m[i][None]), start)
+
+    canvas = jax.lax.fori_loop(0, k, body, canvas)
+    return canvas[:, :h, :w]
 
 
 # ---------------------------------------------------------------------------
@@ -318,27 +375,29 @@ def _stacked_cc(cands: jax.Array, backend: str | None = None) -> jax.Array:
         from comic_text_detector_tpu.ops.pallas_kernels import cc_windows_local
 
         return cc_windows_local(cands.astype(jnp.uint8))
+    sh, sw = cands.shape[1:]
+    rows = sh + GAP
     k = min(n, SLOTS)
     g = (n + k - 1) // k
-    pitch = S + GAPC
-    width = (g - 1) * pitch + S
+    pitch = sw + GAPC
+    width = (g - 1) * pitch + sw
     pad_n = g * k - n
-    grid = jnp.pad(cands, ((0, pad_n), (0, GAP), (0, 0)))  # (g*k, ROWS, S)
-    # (g, k*ROWS, S) -> place column c at x offset c*pitch
-    grid = grid.reshape(g, k * ROWS, S).transpose(1, 0, 2)  # (k*ROWS, g, S)
-    grid = jnp.pad(grid, ((0, 0), (0, 0), (0, GAPC)))  # (k*ROWS, g, pitch)
-    canvas = grid.reshape(k * ROWS, g * pitch)[:, :width]
+    grid = jnp.pad(cands, ((0, pad_n), (0, GAP), (0, 0)))  # (g*k, rows, sw)
+    # (g, k*rows, sw) -> place column c at x offset c*pitch
+    grid = grid.reshape(g, k * rows, sw).transpose(1, 0, 2)  # (k*rows, g, sw)
+    grid = jnp.pad(grid, ((0, 0), (0, 0), (0, GAPC)))  # (k*rows, g, pitch)
+    canvas = grid.reshape(k * rows, g * pitch)[:, :width]
     labels = connected_components(canvas, 8)  # 0 = background
     glob = labels.astype(jnp.int32) - 1  # global linear root index in canvas
     row_of = glob // width
     col_of = glob % width
     c_of = col_of // pitch
-    local = (row_of % ROWS) * S + (col_of - c_of * pitch)
-    out = jnp.where(glob >= 0, local, _BIG)  # (k*ROWS, width)
-    # slice each window back out: window i lives at column i//k, rows (i%k)*ROWS
+    local = (row_of % rows) * sw + (col_of - c_of * pitch)
+    out = jnp.where(glob >= 0, local, _BIG)  # (k*rows, width)
+    # slice each window back out: window i lives at column i//k, rows (i%k)*rows
     out = jnp.pad(out, ((0, 0), (0, g * pitch - width)), constant_values=_BIG)
-    out = out.reshape(k, ROWS, g, pitch)[:, :S, :, :S]  # (k, S, g, S)
-    out = out.transpose(2, 0, 1, 3).reshape(g * k, S, S)
+    out = out.reshape(k, rows, g, pitch)[:, :sh, :, :sw]  # (k, sh, g, sw)
+    out = out.transpose(2, 0, 1, 3).reshape(g * k, sh, sw)
     return out[:n]
 
 
@@ -363,36 +422,40 @@ def _compact_ids(local_labels: jax.Array, fg: jax.Array) -> jax.Array:
     """Window-local root labels -> 1-based component ranks (0 = background).
     Scatter-free: a pixel is a root iff its label equals its own linear
     index; ranks come from a cumsum over the window."""
-    k = local_labels.shape[0]
-    flat = local_labels.reshape(k, S * S)
-    lin = jnp.arange(S * S, dtype=jnp.int32)[None, :]
-    is_root = (flat == lin) & fg.reshape(k, S * S)
+    k, sh, sw = local_labels.shape
+    n = sh * sw
+    flat = local_labels.reshape(k, n)
+    lin = jnp.arange(n, dtype=jnp.int32)[None, :]
+    is_root = (flat == lin) & fg.reshape(k, n)
     rank = jnp.cumsum(is_root.astype(jnp.int32), axis=1)  # inclusive
-    ids = jnp.take_along_axis(rank, jnp.clip(flat, 0, S * S - 1), axis=1)
-    ids = jnp.where(fg.reshape(k, S * S), ids, 0)
-    return ids.reshape(k, S, S)
+    ids = jnp.take_along_axis(rank, jnp.clip(flat, 0, n - 1), axis=1)
+    ids = jnp.where(fg.reshape(k, n), ids, 0)
+    return ids.reshape(k, sh, sw)
 
 
 _LO = 64  # low-radix width of the factored one-hot bincount (lane-friendly)
 
 
-def _component_sums(ids: jax.Array, quantities: jax.Array, matmul: bool | None = None) -> jax.Array:
+def _component_sums(
+    ids: jax.Array, quantities: jax.Array, matmul: bool | None = None, cap: int = CAP
+) -> jax.Array:
     """Per-component sums of 0/1 quantities, scatter-free.
 
-    ids (K, S, S) int32 component ranks (0 = background; ranks >= CAP clip
+    ids (K, sh, sw) int32 component ranks (0 = background; ranks >= cap clip
     to 0, i.e. beyond-capacity components are never accepted — conservative
-    for noise-heavy candidates); quantities (Q, K, S, S) float32, each 0/1.
-    Returns (Q, K, CAP) float32 sums.
+    for noise-heavy candidates); quantities (Q, K, sh, sw) float32, each 0/1.
+    Returns (Q, K, cap) float32 sums.
 
     TPU scatters serialize (~10 ms per 0.5M-row scatter — they were the fat
     half of the refine dispatch).  Instead the rank factors as
     ``id = hi*_LO + lo`` and the bincount becomes one batched MXU matmul
     between the two one-hot factors:  out[hi, lo] = sum_n q_n * [hi_n==hi] *
-    [lo_n==lo].  The factored one-hots are (N, CAP/_LO) + (N, _LO) instead
-    of the (N, CAP) full one-hot (32x less HBM traffic), and 0/1 bf16
+    [lo_n==lo].  The factored one-hots are (N, cap/_LO) + (N, _LO) instead
+    of the (N, cap) full one-hot (32x less HBM traffic), and 0/1 bf16
     operands with f32 accumulation keep integer counts < 2^24 exact."""
     q, k = quantities.shape[0], ids.shape[0]
-    flat = jnp.where(ids < CAP, ids, 0).reshape(k, S * S)
+    n = ids.shape[1] * ids.shape[2]
+    flat = jnp.where(ids < cap, ids, 0).reshape(k, n)
     if matmul is None:
         matmul = jax.default_backend() == "tpu"
     if matmul:
@@ -401,9 +464,9 @@ def _component_sums(ids: jax.Array, quantities: jax.Array, matmul: bool | None =
         dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         hi = flat // _LO
         lo = flat % _LO
-        oh_hi = hi[:, :, None] == jnp.arange(CAP // _LO, dtype=jnp.int32)[None, None, :]
+        oh_hi = hi[:, :, None] == jnp.arange(cap // _LO, dtype=jnp.int32)[None, None, :]
         oh_lo = lo[:, :, None] == jnp.arange(_LO, dtype=jnp.int32)[None, None, :]
-        qb = quantities.reshape(q, k, S * S) != 0
+        qb = quantities.reshape(q, k, n) != 0
         lhs = (oh_hi[None] & qb[..., None]).astype(dt)  # (Q, K, N, HI)
         out = jnp.einsum(
             "qknh,knl->qkhl",
@@ -411,16 +474,18 @@ def _component_sums(ids: jax.Array, quantities: jax.Array, matmul: bool | None =
             oh_lo.astype(dt),
             preferred_element_type=jnp.float32,
         )
-        return out.reshape(q, k, CAP)
+        return out.reshape(q, k, cap)
     # off-TPU (tests): one batched scatter-add, which CPU handles well
-    gid = (jnp.arange(k, dtype=jnp.int32)[:, None] * CAP + flat).reshape(-1)
-    vals = quantities.reshape(q, -1).T  # (k*S*S, q)
-    out = jnp.zeros((k * CAP, q), jnp.float32).at[gid].add(vals)
-    return out.reshape(k, CAP, q).transpose(2, 0, 1)
+    gid = (jnp.arange(k, dtype=jnp.int32)[:, None] * cap + flat).reshape(-1)
+    vals = quantities.reshape(q, -1).T  # (k*N, q)
+    out = jnp.zeros((k * cap, q), jnp.float32).at[gid].add(vals)
+    return out.reshape(k, cap, q).transpose(2, 0, 1)
 
 
-def _take_accept(ids: jax.Array, accept: jax.Array, matmul: bool | None = None) -> jax.Array:
-    """(K, CAP) per-component accept bits -> (K, S, S) pixel mask (bucket 0
+def _take_accept(
+    ids: jax.Array, accept: jax.Array, matmul: bool | None = None
+) -> jax.Array:
+    """(K, cap) per-component accept bits -> (K, sh, sw) pixel mask (bucket 0
     = background and beyond-capacity ranks are never accepted).
 
     On TPU the table lookup runs gather-free through the same ``id = hi*_LO
@@ -429,20 +494,22 @@ def _take_accept(ids: jax.Array, accept: jax.Array, matmul: bool | None = None) 
     high radix with a fused compare+reduce (XLA per-element gathers measured
     ~12 ms/M on v5e; this is ~0.3 ms for a full dispatch)."""
     k = ids.shape[0]
+    cap = accept.shape[1]
+    n = ids.shape[1] * ids.shape[2]
     acc = accept.at[:, 0].set(False)
-    flat = jnp.where(ids < CAP, ids, 0).reshape(k, S * S)
+    flat = jnp.where(ids < cap, ids, 0).reshape(k, n)
     if matmul is None:
         matmul = jax.default_backend() == "tpu"
     if matmul:
         dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         hi = flat // _LO
         lo = flat % _LO
-        table = acc.reshape(k, CAP // _LO, _LO).astype(dt)  # (K, HI, LO)
+        table = acc.reshape(k, cap // _LO, _LO).astype(dt)  # (K, HI, LO)
         oh_lo = (lo[:, :, None] == jnp.arange(_LO, dtype=jnp.int32)[None, None, :]).astype(dt)
         picked = jnp.einsum(
             "knl,khl->knh", oh_lo, table, preferred_element_type=jnp.float32
         )  # (K, N, HI) — 0/1 values
-        oh_hi = hi[:, :, None] == jnp.arange(CAP // _LO, dtype=jnp.int32)[None, None, :]
+        oh_hi = hi[:, :, None] == jnp.arange(cap // _LO, dtype=jnp.int32)[None, None, :]
         out = jnp.sum(jnp.where(oh_hi, picked, 0.0), axis=2) > 0.5
         return out.reshape(ids.shape)
     return jnp.take_along_axis(acc, flat, axis=1).reshape(ids.shape)
@@ -473,7 +540,9 @@ def _drop_tiny_components(fg: jax.Array) -> jax.Array:
     return fg & ~(singleton | straight_pair)
 
 
-def _merge_labeled(merged: jax.Array, fg: jax.Array, ids: jax.Array, pred: jax.Array) -> jax.Array:
+def _merge_labeled(
+    merged: jax.Array, fg: jax.Array, ids: jax.Array, pred: jax.Array, cap: int = CAP
+) -> jax.Array:
     """Absorb every component of a pre-labeled candidate whose un-merged
     pixels match the predicted mask more than they miss it (exactly the
     reference's xor_merged < xor_origin test, reference textmask.py:95-110;
@@ -481,19 +550,21 @@ def _merge_labeled(merged: jax.Array, fg: jax.Array, ids: jax.Array, pred: jax.A
     new = fg & ~merged
     on = (new & pred).astype(jnp.float32)
     off = (new & ~pred).astype(jnp.float32)
-    sums = _component_sums(ids, jnp.stack([on, off]))  # (2, K, CAP)
+    sums = _component_sums(ids, jnp.stack([on, off]), cap=cap)  # (2, K, cap)
     take = _take_accept(ids, sums[0] > sums[1])
     return merged | (fg & take)
 
 
-def _merge_candidate(merged: jax.Array, cand: jax.Array, pred: jax.Array) -> jax.Array:
+def _merge_candidate(merged: jax.Array, cand: jax.Array, pred: jax.Array, cap: int = CAP) -> jax.Array:
     """CC + tiny-drop + :func:`_merge_labeled` for a single candidate set."""
     fg = _drop_tiny_components(cand)
     ids = _component_ids(fg)
-    return _merge_labeled(merged, fg, ids, pred)
+    return _merge_labeled(merged, fg, ids, pred, cap=cap)
 
 
-def _fill_holes(merged: jax.Array, pred: jax.Array, in_window: jax.Array) -> jax.Array:
+def _fill_holes(
+    merged: jax.Array, pred: jax.Array, in_window: jax.Array, cap: int = CAP
+) -> jax.Array:
     """Adopt small components of the inverse mask that reduce the XOR
     objective (reference textmask.py:113-131).  The area threshold is the
     second-largest area among {merged region, inverse components}; the
@@ -506,7 +577,7 @@ def _fill_holes(merged: jax.Array, pred: jax.Array, in_window: jax.Array) -> jax
     off = (inv & ~pred & in_window).astype(jnp.float32)
     ones = inv.astype(jnp.float32)
     dead = (inv & ~in_window).astype(jnp.float32)
-    sums = _component_sums(ids, jnp.stack([on, off, ones, dead]))  # (4, K, CAP)
+    sums = _component_sums(ids, jnp.stack([on, off, ones, dead]), cap=cap)  # (4, K, cap)
     eff_area = sums[2] - sums[3]  # (K, CAP), dead-zone pixels removed
     merged_area = jnp.sum(merged & in_window, axis=(1, 2)).astype(jnp.float32)  # cv2 label 0
     all_areas = jnp.concatenate([merged_area[:, None], eff_area[:, 1:]], axis=1)
@@ -559,19 +630,20 @@ def _candidates(win_img: jax.Array, win_msk: jax.Array, in_window: jax.Array):
     """The 4 candidate masks per window: 3 grey-histogram bands + the best
     per-channel Otsu (reference get_topk_masklist :56 / get_otsuthresh :43).
 
-    Returns (4, K, S, S) uint8 candidates + (4, K) int32 XOR scores; invalid
-    band slots come back all-zero with a huge score.
+    Returns (4, K, sh, sw) uint8 candidates + (4, K) int32 XOR scores;
+    invalid band slots come back all-zero with a huge score.
     """
-    k = win_img.shape[0]
+    k, sh, sw = win_msk.shape
+    n = sh * sw
     grey = bgr2gray_u8(win_img)
     # erosion with the window edge as the border (cv2 border for erode is
     # +inf: the edge does not erode)
     eroded = _erode_rect3(jnp.where(in_window, win_msk, 255))
-    sel = ((eroded > 127) & in_window).reshape(k, S * S).astype(jnp.float32)
+    sel = ((eroded > 127) & in_window).reshape(k, n).astype(jnp.float32)
     any_sel = jnp.sum(sel, axis=1) > 0
-    weights = jnp.where(any_sel[:, None], sel, in_window.reshape(k, S * S).astype(jnp.float32))
+    weights = jnp.where(any_sel[:, None], sel, in_window.reshape(k, n).astype(jnp.float32))
 
-    gflat = grey.reshape(k, S * S)
+    gflat = grey.reshape(k, n)
     hist = _hist256(gflat, weights)  # (K, 256)
     present = hist > 0
     lvl = jnp.arange(256, dtype=jnp.float32)
@@ -608,10 +680,10 @@ def _candidates(win_img: jax.Array, win_msk: jax.Array, in_window: jax.Array):
 
     # per-channel Otsu, keep the best
     best_x = jnp.full((k,), _XOR_INVALID, jnp.int32)
-    best_m = jnp.zeros((k, S, S), jnp.uint8)
+    best_m = jnp.zeros((k, sh, sw), jnp.uint8)
     for ch in range(3):
         plane = win_img[..., ch]
-        hist_c = _hist256(plane.reshape(k, S * S), in_window.reshape(k, S * S).astype(jnp.float32))
+        hist_c = _hist256(plane.reshape(k, n), in_window.reshape(k, n).astype(jnp.float32))
         t = _otsu_from_hist(hist_c)  # (K,)
         th = (plane > t[:, None, None].astype(plane.dtype)).astype(jnp.uint8) * 255
         th, x = _pick_polarity(th, win_msk, in_window)
@@ -630,18 +702,22 @@ def refine_windows(
     boxes: jax.Array,
     valid: jax.Array,
     refine_mode: int = REFINEMASK_INPAINT,
+    win_hw: Tuple[int, int] = (S, S),
+    cap: int = CAP,
 ) -> jax.Array:
-    """Single-page wrapper over :func:`_refine_windows_jit` (returns (H, W))."""
+    """Single-page wrapper over :func:`_refine_windows_jit` (returns (H, W)).
+    Uses the resample-capable paste, so any window size is accepted."""
     # refine_mode rides as a traced scalar so both modes share one
     # executable (a static-arg variant pair tripped an executable-cache
     # buffer-count bug on the multi-device CPU test backend)
     pids = jnp.zeros((boxes.shape[0],), jnp.int32)
     return _refine_windows_jit(
-        img[None], mask[None], boxes, valid, pids, jnp.int32(refine_mode)
+        img[None], mask[None], boxes, valid, pids, jnp.int32(refine_mode),
+        win_hw, cap, False,
     )[0]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
 def _refine_windows_jit(
     img: jax.Array,
     mask: jax.Array,
@@ -649,17 +725,24 @@ def _refine_windows_jit(
     valid: jax.Array,
     page_ids: jax.Array,
     refine_mode: jax.Array,
+    win_hw: Tuple[int, int],
+    cap: int,
+    exact: bool,
 ) -> jax.Array:
     """Refine K block windows (possibly spanning pages) in one dispatch.
 
     img (P, H, W, 3) uint8 BGR page stack at ORIGINAL resolution; mask
     (P, H, W) uint8 raw predicted masks (device-upsampled); boxes (K, 4)
     int32 xyxy windows (already expanded/clamped); valid (K,) bool;
-    page_ids (K,) int32.  Returns (P, H, W) uint8 0/255 refined canvases
-    (OR of each page's window results).
+    page_ids (K,) int32.  Static: ``win_hw`` the bucket shape, ``cap`` the
+    component capacity, ``exact`` whether every window fits the bucket
+    (enables the O(K*sh*sw) dynamic-slice paste; bit-exact vs the host
+    merge).  Returns (P, H, W) uint8 0/255 refined canvases (OR of each
+    page's window results).
     """
-    win_img, win_msk, in_window = extract_windows(img, mask, boxes, page_ids)
-    cands, xors = _candidates(win_img, win_msk, in_window)  # (4,K,S,S), (4,K)
+    sh, sw = win_hw
+    win_img, win_msk, in_window = extract_windows(img, mask, boxes, page_ids, win_hw)
+    cands, xors = _candidates(win_img, win_msk, in_window)  # (4,K,sh,sw), (4,K)
 
     # eroded+binarized prediction target (textmask.py:88-91); the window edge
     # is erode-neutral like cv2's crop border
@@ -669,34 +752,47 @@ def _refine_windows_jit(
 
     k = win_msk.shape[0]
     # candidate CCs are independent of the sequential merge state, so label
-    # all 4 candidate sets in ONE grid-stacked CC pass (4 grid columns);
-    # only the cheap accept/merge math stays sequential in XOR-score order
-    fgs = _drop_tiny_components((cands > 0).reshape(4 * k, S, S))
-    ids_all = _component_ids(fgs).reshape(4, k, S, S)
-    fgs = fgs.reshape(4, k, S, S)
-    merged = jnp.zeros((k, S, S), bool)
+    # all 4 candidate sets in ONE batched CC pass; only the cheap
+    # accept/merge math stays sequential in XOR-score order
+    fgs = _drop_tiny_components((cands > 0).reshape(4 * k, sh, sw))
+    ids_all = _component_ids(fgs).reshape(4, k, sh, sw)
+    fgs = fgs.reshape(4, k, sh, sw)
+    merged = jnp.zeros((k, sh, sw), bool)
     for rank in range(4):
         idx = order[rank][None, :, None, None]  # (1, K, 1, 1)
         fg = jnp.take_along_axis(fgs, idx, axis=0)[0]
         ids = jnp.take_along_axis(ids_all, idx, axis=0)[0]
-        merged = _merge_labeled(merged, fg, ids, pred)
+        merged = _merge_labeled(merged, fg, ids, pred, cap=cap)
 
     dilated = (_dilate_rect3(merged.astype(jnp.uint8) * 255) > 0) & in_window
     merged = jnp.where(refine_mode == REFINEMASK_INPAINT, dilated, merged)
-    merged = _fill_holes(merged, pred, in_window)
+    merged = _fill_holes(merged, pred, in_window, cap=cap)
 
     out = (merged.astype(jnp.uint8)) * 255
+    if exact:
+        return paste_windows_exact(
+            out, boxes, valid, mask.shape[-2:], page_ids, mask.shape[0]
+        )
     return paste_windows(
         out, boxes, valid, mask.shape[-2:], page_ids=page_ids, n_pages=mask.shape[0]
     )
 
 
-# Windows per dispatch: one compiled executable serves any page.  8 slots
-# keep the stacked-window CC at 8*(S+GAP) = 2112 rows, whose (2112, 128)
-# Pallas column strips fit Mosaic's 16 MB scoped-VMEM budget (16 slots =
-# 4224 rows OOMed on v5e; the last-dim tiling floor of 128 blocks any
-# narrower strip).
+# Windows per dispatch for the default (256, 256) bucket (BUCKETS carries
+# per-bucket slot counts — larger windows get fewer slots so every dispatch
+# is a similar device-time quantum).  8 slots also keep the off-TPU
+# grid-stacked CC at 8*(S+GAP) = 2112 rows, within the Pallas column-sweep
+# scoped-VMEM budget when the grid path is forced on TPU.
 SLOTS = 8
+
+
+def _bucket_index(w: int, h: int) -> int:
+    """Smallest BUCKETS entry that fits a (w, h) box 1:1; -1 = none
+    (resample fallback into the last bucket)."""
+    for bi, (bh, bw, _slots, _cap) in enumerate(BUCKETS):
+        if h <= bh and w <= bw:
+            return bi
+    return -1
 
 
 def refine_pages(
@@ -710,30 +806,41 @@ def refine_pages(
 
     imgs (P, H, W, 3) uint8, masks (P, H, W) uint8, window_boxes (N, 4)
     int xyxy in page coords (already expanded+clamped), page_ids (N,) int.
-    Windows from ALL pages pack into shared SLOTS-sized dispatches (a
-    20-block page no longer serializes 3 padded dispatches on its own) and
-    the per-page canvases OR across chunks.  Returns (P, H, W) uint8.
+
+    Windows route to the smallest shape bucket that holds them 1:1 (exact —
+    bit-identical to the host merge), resampling only beyond the largest
+    bucket; within each bucket, windows from ALL pages pack into shared
+    slot-sized dispatches and the per-page canvases OR across chunks.
+    Returns (P, H, W) uint8.
     """
     import numpy as np
 
     boxes = np.asarray(window_boxes, np.int32).reshape(-1, 4)
     pids = np.asarray(page_ids, np.int32).reshape(-1)
-    n = len(boxes)
     canvases = None
-    for start in range(0, max(n, 1), SLOTS):
-        chunk = boxes[start:start + SLOTS]
-        valid = np.zeros((SLOTS,), bool)
-        valid[: len(chunk)] = True
-        padded = np.zeros((SLOTS, 4), np.int32)
-        padded[:, 2:] = 1  # degenerate-but-valid geometry for empty slots
-        padded[: len(chunk)] = chunk
-        pchunk = np.zeros((SLOTS,), np.int32)
-        pchunk[: len(chunk)] = pids[start:start + len(chunk)]
-        c = _refine_windows_jit(
-            imgs, masks, jnp.asarray(padded), jnp.asarray(valid),
-            jnp.asarray(pchunk), jnp.int32(refine_mode),
-        )
-        canvases = c if canvases is None else jnp.bitwise_or(canvases, c)
+
+    groups: dict[int, list[int]] = {}
+    for j, (x1, y1, x2, y2) in enumerate(boxes):
+        groups.setdefault(_bucket_index(int(x2 - x1), int(y2 - y1)), []).append(j)
+
+    for bi, idxs in groups.items():
+        exact = bi >= 0
+        bh, bw, slots, cap = BUCKETS[bi if exact else -1]
+        for start in range(0, len(idxs), slots):
+            sel = idxs[start:start + slots]
+            valid = np.zeros((slots,), bool)
+            valid[: len(sel)] = True
+            padded = np.zeros((slots, 4), np.int32)
+            padded[:, 2:] = 1  # degenerate-but-valid geometry for empty slots
+            padded[: len(sel)] = boxes[sel]
+            pchunk = np.zeros((slots,), np.int32)
+            pchunk[: len(sel)] = pids[sel]
+            c = _refine_windows_jit(
+                imgs, masks, jnp.asarray(padded), jnp.asarray(valid),
+                jnp.asarray(pchunk), jnp.int32(refine_mode),
+                (bh, bw), cap, exact,
+            )
+            canvases = c if canvases is None else jnp.bitwise_or(canvases, c)
     if canvases is None:
         canvases = jnp.zeros(masks.shape, jnp.uint8)
     return canvases

@@ -103,6 +103,41 @@ def test_refine_page_empty():
     assert c.sum() == 0
 
 
+@pytest.mark.parametrize("box", [(20, 30, 420, 330), (10, 10, 560, 240), (30, 5, 230, 500)])
+def test_bucketed_large_window_bit_exact(box):
+    """Windows larger than 256 in one/both dims route to a bigger shape
+    bucket and extract 1:1 — bit-exact vs the host merge (resampling was
+    measured catastrophic: discrete thresholds/CC flip whole components)."""
+    img, mask = _page(7, H=512, W=576, noise=6)
+    host = _host_merged(img, mask, box, 0)
+    canvas = np.asarray(R.refine_page(jnp.asarray(img), jnp.asarray(mask), np.asarray([box]), 0))
+    x1, y1, x2, y2 = box
+    np.testing.assert_array_equal(canvas[y1:y2, x1:x2] > 0, host > 0)
+    outside = canvas.copy()
+    outside[y1:y2, x1:x2] = 0
+    assert outside.sum() == 0
+
+
+def test_paste_exact_matches_gather_paste():
+    rng = np.random.default_rng(9)
+    k, sh, sw = 3, 64, 96
+    H, W = 200, 240
+    boxes = np.array([[10, 20, 10 + sw, 20 + sh], [150, 140, 150 + 80, 140 + 50], [0, 0, 96, 64]], np.int32)
+    pids = np.array([0, 1, 1], np.int32)
+    merged = np.zeros((k, sh, sw), np.uint8)
+    for i, b in enumerate(boxes):
+        w, h = b[2] - b[0], b[3] - b[1]
+        merged[i, :h, :w] = (rng.random((h, w)) < 0.4) * 255
+    valid = np.array([True, True, False])
+    got = np.asarray(R.paste_windows_exact(
+        jnp.asarray(merged), jnp.asarray(boxes), jnp.asarray(valid), (H, W),
+        jnp.asarray(pids), 2))
+    ref = np.asarray(R.paste_windows(
+        jnp.asarray(merged), jnp.asarray(boxes), jnp.asarray(valid), (H, W),
+        page_ids=jnp.asarray(pids), n_pages=2, win_hw=(sh, sw)))
+    np.testing.assert_array_equal(got > 0, ref > 0)
+
+
 def test_component_sums_matmul_matches_scatter():
     """The TPU factored one-hot-matmul bincount must agree exactly with the
     scatter-add formulation (0/1 bf16 operands + f32 accumulation keep
