@@ -80,10 +80,11 @@ def main() -> None:
         refine_backend=refine_backend, mask_transfer=mask_transfer,
     )
     n_pages = bsz * int(os.environ.get("CTD_BENCH_BATCHES", "6"))
+    depth = int(os.environ.get("CTD_BENCH_DEPTH", "2"))
     pages = [img] * n_pages
-    list(bdet.stream(iter(pages[: bsz * 2])))  # compile + warm
+    list(bdet.stream(iter(pages[: bsz * 2]), prefetch=depth))  # compile + warm
     t0 = time.perf_counter()
-    results = list(bdet.stream(iter(pages)))
+    results = list(bdet.stream(iter(pages), prefetch=depth))
     stream_sec = time.perf_counter() - t0
     assert len(results) == n_pages
     pages_per_sec = n_pages / stream_sec

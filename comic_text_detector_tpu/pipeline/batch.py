@@ -95,14 +95,10 @@ class BatchTextDetector:
                 lambda p: nms_single(p.astype(jnp.float32), self.conf_thresh, self.nms_thresh)
             )(blks)
             masks_full = (mask[..., 0].astype(jnp.float32) * 255.0).astype(jnp.uint8)
-            if self.mask_transfer == "packed":
-                masks_out = jnp.packbits(masks_full > 30, axis=-1)
-            else:
-                masks_out = masks_full
             boxes, scores, valid = jax.vmap(lambda s: db_decode_full_device(s, self.db_thresh))(
                 lines[..., 0].astype(jnp.float32)
             )
-            return rows, counts, masks_out, boxes, scores, valid, masks_full
+            return rows, counts, boxes, scores, valid, masks_full
 
         return infer
 
@@ -133,20 +129,36 @@ class BatchTextDetector:
             from comic_text_detector_tpu.parallel.mesh import shard_batch_spec
 
             device_batch = jax.device_put(device_batch, shard_batch_spec(self.mesh, 4))
-        rows, counts, masks_out, boxes, scores, valid, masks_full = self._infer(
+        rows, counts, boxes, scores, valid, masks_full = self._infer(
             self.variables, device_batch
         )
-        if self.mask_transfer != "packed":
+        mask_devs = None
+        if self.mask_transfer == "packed":
+            # per-page: upsample the grey mask to ORIGINAL resolution on
+            # device (cv2-exact) and binarize at the reference's >30 AFTER
+            # interpolation (binarize-then-upsample measured raw-mask IoU
+            # 0.913 vs the reference); ship 1 bpp.  The upsampled masks stay
+            # device-resident for the refine stage (no recompute there).
+            from comic_text_detector_tpu.pipeline.detector import _upsample_mask_packed
+
+            mask_devs, masks_out = [], []
+            for i, (im_h, im_w, dw, dh) in enumerate(metas):
+                md, pk = _upsample_mask_packed(
+                    masks_full[i], size - dh, size - dw, (im_h, im_w)
+                )
+                mask_devs.append(md)
+                masks_out.append(pk)
+        else:
             # crop masks to the batch's shared content region before transfer
             min_dh = min(m[3] for m in metas)
             min_dw = min(m[2] for m in metas)
-            masks_out = masks_out[:, : size - min_dh, : size - min_dw]
+            masks_out = masks_full[:, : size - min_dh, : size - min_dw]
         outputs = (rows, counts, masks_out, boxes, scores, valid)
         # start the device->host copies without blocking
         for o in jax.tree_util.tree_leaves(outputs):
             o.copy_to_host_async()
         # device-resident extras for the on-device refinement stage
-        extras = (origs, masks_full) if self.refine_backend == "device" else None
+        extras = (origs, masks_full, mask_devs) if self.refine_backend == "device" else None
         return outputs, metas, list(pages), extras
 
     def collect(
@@ -174,9 +186,8 @@ class BatchTextDetector:
                 keep = scores > self.box_thresh
                 lines, scores = lines[keep], scores[keep]
             if self.mask_transfer == "packed":
-                bits = np.unpackbits(masks_out[i], axis=-1)[: size - dh, : size - dw]
-                mask = resize_bilinear_fast(bits * np.uint8(255), (im_h, im_w))
-                mask = np.where(mask > 127, np.uint8(255), np.uint8(0))
+                # device already upsampled to original resolution + binarized >30
+                mask = np.unpackbits(masks_out[i], axis=-1)[:, :im_w] * np.uint8(255)
             else:
                 mask = masks_out[i][: size - dh, : size - dw]
                 mask = resize_bilinear_fast(mask, (im_h, im_w))
@@ -225,14 +236,15 @@ class BatchTextDetector:
         from comic_text_detector_tpu.pipeline.detector import _pack_canvas, _upsample_mask
         from comic_text_detector_tpu.utils.imgproc import expand_textwindow
 
-        origs, masks_full = extras
+        origs, masks_full, mask_devs = extras
         size = self.size
-        mask_devs = []
-        for i in range(len(pages)):
-            im_h, im_w, dw, dh = metas[i]
-            mask_devs.append(
-                _upsample_mask(masks_full[i], size - dh, size - dw, (im_h, im_w))
-            )
+        if mask_devs is None:  # grey transfer mode: upsample here
+            mask_devs = []
+            for i in range(len(pages)):
+                im_h, im_w, dw, dh = metas[i]
+                mask_devs.append(
+                    _upsample_mask(masks_full[i], size - dh, size - dw, (im_h, im_w))
+                )
 
         groups: dict = {}
         for i, page in enumerate(pages):

@@ -99,8 +99,11 @@ class TextDetector:
         # ORIGINAL page resolution — the throughput configuration
         # (sub-256px windows are bit-exact vs the host merge).
         # mask_transfer: 'grey' downloads the full grey mask (API parity);
-        # 'packed' downloads a 1-bpp binarized (>30) mask — 8x fewer bytes
-        # over remote-attached links; the returned mask is then 0/255.
+        # 'packed' upsamples the grey mask to original page resolution ON
+        # DEVICE (cv2-exact), binarizes at the reference's >30 AFTER the
+        # interpolation, and downloads 1 bpp — 8x fewer bytes over
+        # remote-attached links; the returned mask is 0/255 and bit-matches
+        # thresholding the reference's grey mask at 30.
         # Packed mode requires the device refine (the host refine needs the
         # grey values).
         self.refine_backend = refine_backend
@@ -201,7 +204,13 @@ class TextDetector:
                 )
                 mask_full = (mask[0, :, :, 0].astype(jnp.float32) * 255.0).astype(jnp.uint8)
                 if self.mask_transfer == "packed":
-                    mask_out = jnp.packbits(mask_full[: size - dh] > 30, axis=-1)
+                    # upsample the grey mask to ORIGINAL page resolution on
+                    # device (cv2-exact) and binarize at the reference's >30
+                    # AFTER interpolation — binarize-then-upsample loses the
+                    # soft halo cv2's grey resize keeps (measured raw-mask
+                    # IoU 0.913 vs the reference; this way it's bit-matched)
+                    up = _upsample_mask(mask_full, size - dh, size - dw, (h, w))
+                    mask_out = jnp.packbits(up > 30, axis=-1)
                 else:
                     mask_out = mask_full[: size - dh, : size - dw]
                 shrink = lines[0, :, :, 0].astype(jnp.float32)
@@ -241,9 +250,8 @@ class TextDetector:
 
         # map outputs back to the original page (mask comes cropped from device)
         if self.mask_transfer == "packed":
-            bits = np.unpackbits(mask_out, axis=-1)[:, : size - dw]
-            mask = resize_bilinear_fast(bits * np.uint8(255), (im_h, im_w))
-            mask = np.where(mask > 127, np.uint8(255), np.uint8(0))
+            # device already upsampled to original resolution + binarized >30
+            mask = np.unpackbits(mask_out, axis=-1)[:, :im_w] * np.uint8(255)
         else:
             mask = resize_bilinear_fast(mask_out, (im_h, im_w))
         if lines.size == 0:
@@ -377,3 +385,13 @@ def _upsample_mask(mask_full: jax.Array, content_h: int, content_w: int, out_hw)
     from comic_text_detector_tpu.ops.resize import resize_cv2exact_u8
 
     return resize_cv2exact_u8(mask_full[:content_h, :content_w], out_hw)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _upsample_mask_packed(mask_full: jax.Array, content_h: int, content_w: int, out_hw):
+    """:func:`_upsample_mask` + 1-bpp packing of the reference's >30
+    binarization (applied AFTER the grey interpolation, like every host
+    consumer of the reference's resized mask).  Returns (grey upsampled
+    mask for the refine stage, packed bits for transfer)."""
+    up = _upsample_mask(mask_full, content_h, content_w, out_hw)
+    return up, jnp.packbits(up > 30, axis=-1)
