@@ -9,6 +9,7 @@ ragged-aware batching (text_polys kept as lists for the val metric).
 from __future__ import annotations
 
 import glob
+import os
 import os.path as osp
 import random
 from pathlib import Path
@@ -192,7 +193,7 @@ class DBDataset:
     # cheap augments (content-region flip of image+maps together, HSV /
     # negate of the image alone) per epoch.
 
-    def enable_prepared_cache(self) -> None:
+    def enable_prepared_cache(self, disk_dir: str | None = None) -> None:
         if self._augment and (getattr(self, "multi_size", False) or self._rotate or self._mini_mosaic):
             raise ValueError(
                 "cache_prepared requires rotate/mini_mosaic/multi-size off "
@@ -205,9 +206,24 @@ class DBDataset:
             )
         self.cache_prepared = True
         self._prep_cache: dict = {}
+        # optional disk tier: prepared samples are deterministic, so chunked
+        # training runs (process restarts) reload them instead of re-paying
+        # per-sample map generation (~minutes/epoch on the 1-vCPU host)
+        self._prep_disk = disk_dir
+        if disk_dir:
+            os.makedirs(disk_dir, exist_ok=True)
 
     def _cached_item(self, idx: int) -> dict:
         got = self._prep_cache.get(idx)
+        if got is None and self._prep_disk:
+            p = os.path.join(self._prep_disk, f"prep_{self.base_size}_{idx}.npz")
+            if os.path.exists(p):
+                with np.load(p, allow_pickle=True) as z:
+                    got = {k: z[k] for k in z.files}
+                got["text_polys"] = got["text_polys"].tolist()
+                got["ignore_tags"] = got["ignore_tags"].tolist()
+                got["content_wh"] = tuple(got["content_wh"])
+                self._prep_cache[idx] = got
         if got is None:
             data = self._build_item(idx)
             got = {
@@ -221,6 +237,17 @@ class DBDataset:
                 "content_wh": data["content_wh"],
             }
             self._prep_cache[idx] = got
+            if self._prep_disk:
+                p = os.path.join(self._prep_disk, f"prep_{self.base_size}_{idx}.npz")
+                if not os.path.exists(p):
+                    np.savez(
+                        p,
+                        **{
+                            k: (np.asarray(v, dtype=object) if k in ("text_polys", "ignore_tags")
+                                else np.asarray(v))
+                            for k, v in got.items()
+                        },
+                    )
         data = {
             k: (v.astype(np.float32) if isinstance(v, np.ndarray) and v.dtype == np.float16 else v)
             for k, v in got.items()

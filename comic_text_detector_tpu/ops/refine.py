@@ -50,10 +50,11 @@ CAP = 2048  # default per-window component capacity for segment reductions
 _BIG = 2**30  # python int: module-level jnp arrays become committed captured constants
 
 # (win_h, win_w, slots_per_dispatch, component_capacity) — smallest first.
-# Every shape fits the Pallas CC kernel's scoped-VMEM budget (~9 live i32
-# copies: 512*512*4*9 = 9.4 MB < 16 MB); slots shrink with window area so
-# each dispatch stays a similar device-time quantum; capacity grows with
-# area so noisy candidates don't overflow the component tables.
+# Slots shrink with window area so each dispatch stays a similar
+# device-time quantum; capacity grows with area so noisy candidates don't
+# overflow the component tables.  Every bucket runs the fused Pallas CC
+# kernel — its ~25-copy scoped-VMEM footprint (21 MB at 512x512) compiles
+# under a raised Mosaic vmem_limit_bytes (pallas_kernels._WINDOW_VMEM_LIMIT).
 BUCKETS = (
     (256, 256, 8, 2048),
     (256, 640, 4, 8192),  # wide blocks (horizontal titles/rows)
@@ -408,9 +409,15 @@ def _component_ids(fg: jax.Array, backend: str | None = None) -> jax.Array:
     On TPU the Pallas kernel computes the ids in-VMEM (labels + ranks +
     rank propagation, zero HBM gathers); elsewhere the grid CC + cumsum/
     gather compaction serves (CPU gathers are cheap, and it doubles as the
-    independent oracle for the hardware equality check)."""
+    independent oracle for the hardware equality check).
+
+    All BUCKETS shapes run the fused kernel: it compiles with a raised
+    Mosaic ``vmem_limit_bytes`` (the ~25-copy footprint measured 21 MB at
+    512x512 — over Mosaic's default 16 MB scoped limit but far under the
+    128 MB physical VMEM; see pallas_kernels._WINDOW_VMEM_LIMIT)."""
     if backend is None:
-        backend = "local" if jax.default_backend() == "tpu" else "grid"
+        fits_local = fg.shape[1] * fg.shape[2] <= 1024 * 1024
+        backend = "local" if (jax.default_backend() == "tpu" and fits_local) else "grid"
     if backend == "local":
         from comic_text_detector_tpu.ops.pallas_kernels import cc_ids_windows_local
 

@@ -135,7 +135,9 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
         # cache letterboxed images + GT maps after first touch; per-epoch
         # augments reduce to flip/HSV/negate on the cached arrays (the
         # 1-vCPU host cannot hide per-sample map generation otherwise)
-        train_dataset.enable_prepared_cache()
+        train_dataset.enable_prepared_cache(
+            disk_dir=hyp_data.get("prepared_cache_dir")
+        )
     nb = len(train_loader)
     LOGGER.info(f"num training imgs: {len(train_dataset)}, num val imgs: {len(val_dataset)}")
 

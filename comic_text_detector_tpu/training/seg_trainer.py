@@ -31,8 +31,12 @@ from comic_text_detector_tpu.utils.log import LOGGER, Loggers
 
 
 def make_lr_schedule(hyp_train: Dict, nb: int):
-    """Reference LR rule: warmup interp over nw steps, then lr0·lf(epoch)."""
-    epochs = hyp_train["epochs"]
+    """Reference LR rule: warmup interp over nw steps, then lr0·lf(epoch).
+
+    ``schedule_epochs`` (default: ``epochs``) pins the decay horizon when a
+    long schedule runs as several shorter resumed processes (each chunk
+    caps ``epochs`` but the cosine must keep the full-run horizon)."""
+    epochs = hyp_train.get("schedule_epochs", hyp_train["epochs"])
     lr0 = hyp_train["lr0"]
     lrf = hyp_train["lrf"]
     if hyp_train.get("linear_lr", False):

@@ -42,7 +42,12 @@ def main() -> None:
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32),
         forward_mode=TEXTDET_DET,
     )
-    state = create_db_train_state(variables, optax.adam(1e-3))
+    # tx tree must match the trainer's (db_trainer.py:143-151) for restore
+    tx = optax.chain(
+        optax.add_decayed_weights(0.0),
+        optax.adam(lambda step: 1e-3, b1=0.937, b2=0.999),  # schedule, like the trainer
+    )
+    state = create_db_train_state(variables, tx)
     payload = ckpt_lib.restore(ctd, state)
     db_state = payload["state"]
     print(f"restored {ctd}: epoch {payload['meta'].get('epoch')} "

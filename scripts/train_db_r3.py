@@ -101,6 +101,7 @@ def main() -> None:
             "augment": True,
             "aug_param": {"hsv": 0.5, "flip_lr": 0.5, "neg": 0.1},
             "cache_prepared": True,
+            "prepared_cache_dir": osp.join(work, "prep_cache"),
             "save_dir": work,
         },
         "train": {
@@ -117,6 +118,25 @@ def main() -> None:
         },
         "model": {"act": "leaky"},
     }
+    # Chunked training: the axon client leaks ~34 MB of host memory per
+    # step (the per-step upload size — the first r3 run OOM-killed at
+    # 128 GB around epoch 13), so long schedules run as several short
+    # processes resuming from db_last.ctd (CTD_DB_RESUME=1), each capped
+    # at CTD_DB_EPOCHS_PER_RUN epochs before a clean exit.
+    last = osp.join(work, "db_last.ctd")
+    saved_epoch = -1
+    if os.environ.get("CTD_DB_RESUME") == "1" and osp.exists(last):
+        hyp_db["resume"] = {"resume_training": True, "ckpt": last}
+        import json
+
+        meta_path = last + ".meta.json"
+        if osp.exists(meta_path):
+            with open(meta_path) as f:
+                saved_epoch = json.load(f).get("epoch", -1)
+    per_run = int(os.environ.get("CTD_DB_EPOCHS_PER_RUN", "0"))
+    if per_run:
+        hyp_db["train"]["schedule_epochs"] = EPOCHS  # full cosine horizon
+        hyp_db["train"]["epochs"] = min(EPOCHS, saved_epoch + 1 + per_run)
     t0 = time.time()
     db_out = db_trainer.train(hyp_db, unet_variables=unet_variables)
     db_state = db_out["state"]

@@ -169,15 +169,14 @@ def test_batch_rescue_undetected(monkeypatch):
     real_infer = bdet._infer
 
     def fake_infer(variables, x_u8):
-        rows, counts, masks_out, boxes, scores, valid, masks_full = real_infer(variables, x_u8)
+        rows, counts, boxes, scores, valid, masks_full = real_infer(variables, x_u8)
         forced = np.zeros((1, size, size), np.uint8)
         # letterbox of (300,220) to 256: r=256/300, content (256, 187)
         y1, y2 = int(60 * 256 / 300), int(100 * 256 / 300)
         x1, x2 = int(40 * 256 / 300), int(150 * 256 / 300)
         forced[0, y1:y2, x1:x2] = 255
         forced_dev = jnp.asarray(forced)
-        packed = jnp.packbits(forced_dev > 30, axis=-1)
-        return rows, counts * 0, packed, boxes, scores, valid & False, forced_dev
+        return rows, counts * 0, boxes, scores, valid & False, forced_dev
 
     bdet._infer = fake_infer
     (res_no,) = bdet.process_batch([page], keep_undetected_mask=False)
