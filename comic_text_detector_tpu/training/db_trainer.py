@@ -218,10 +218,12 @@ def train(hyp: Dict, variables=None, unet_variables=None, max_steps: Optional[in
             or (max_steps and total_steps >= max_steps)
         ):
             recall, precision, fmeasure = eval_model(eval_step, state, val_loader, post_process, metric_cls)
-            meta = {"epoch": epoch, "best_f1": best_f1, "date": datetime.now().isoformat()}
             save_best = best_f1 < fmeasure
             if save_best:
                 best_f1 = fmeasure
+            # db_last carries the UPDATED best_f1: resumed runs restore it,
+            # and a stale value would let a worse epoch overwrite db_best
+            meta = {"epoch": epoch, "best_f1": best_f1, "date": datetime.now().isoformat()}
             ckpt_lib.save(osp.join(save_dir, "db_last.ctd"), state, meta)
             if save_best:
                 ckpt_lib.save(osp.join(save_dir, "db_best.ctd"), state, {**meta, "best_f1": best_f1})

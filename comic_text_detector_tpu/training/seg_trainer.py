@@ -172,10 +172,14 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
                 e_loss += float(m["loss"])
                 n_batches += 1
             recall, precision, f1 = pixel_prf1(tp, gt, pr)
+            save_best = best_f1 < f1
+            if save_best:
+                best_f1 = f1
+            # unet_last carries the UPDATED best_f1 so resumed runs can't
+            # overwrite unet_best with a worse epoch
             meta = {"epoch": epoch, "best_f1": best_f1, "date": datetime.now().isoformat(), "hyp": None}
             ckpt_lib.save(osp.join(save_dir, "unet_last.ctd"), state, meta)
-            if best_f1 < f1:
-                best_f1 = f1
+            if save_best:
                 LOGGER.info(f"saving model at epoch {epoch}, best val f1: {best_f1}")
                 ckpt_lib.save(osp.join(save_dir, "unet_best.ctd"), state, {**meta, "best_f1": best_f1})
             LOGGER.info(f"epoch {epoch}/{epochs-1} loss: {m_loss:.4f} precision: {precision:.4f} recall: {recall:.4f}")

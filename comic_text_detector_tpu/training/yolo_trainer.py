@@ -128,11 +128,17 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
                 n += 1
             for k in e:
                 e[k] /= max(n, 1)
-            meta = {"epoch": epoch, "date": datetime.now().isoformat()}
-            ckpt_lib.save(osp.join(save_dir, "yolo_last.ctd"), state, meta)
             if e["loss"] < best_loss:
                 best_loss = e["loss"]
-                ckpt_lib.save(osp.join(save_dir, "yolo_best.ctd"), state, {**meta, "best_loss": best_loss})
+                save_best = True
+            else:
+                save_best = False
+            # yolo_last carries best_loss so external resume flows can keep
+            # the best-model bookkeeping consistent across process restarts
+            meta = {"epoch": epoch, "best_loss": best_loss, "date": datetime.now().isoformat()}
+            ckpt_lib.save(osp.join(save_dir, "yolo_last.ctd"), state, meta)
+            if save_best:
+                ckpt_lib.save(osp.join(save_dir, "yolo_best.ctd"), state, meta)
             LOGGER.info(
                 f"epoch {epoch}/{epochs-1} train loss: {m_loss:.4f} "
                 f"val: loss {e['loss']:.4f} box {e['lbox']:.4f} obj {e['lobj']:.4f} cls {e['lcls']:.4f}"
