@@ -81,3 +81,34 @@ def test_render_page_and_dataset_roundtrip(tmp_path, rng):
         item = db[0]
         assert item["shrink_map"].shape == (128, 128)
         assert item["shrink_map"].max() == 1.0
+
+
+def test_db_prepared_disk_cache_roundtrip(tmp_path, rng):
+    """Disk-tier prepared cache: a fresh dataset instance (simulating a
+    chunked-training process restart) must reload identical prepared
+    samples from disk instead of rebuilding them."""
+    bg_dir = tmp_path / "bg"
+    out_dir = tmp_path / "out"
+    bg_dir.mkdir()
+    for i in range(2):
+        bg = np.full((300, 240, 3), 235, np.uint8)
+        bg[::30] = 170
+        imwrite(str(bg_dir / f"bg{i}.png"), bg)
+    render_comictext(str(bg_dir), str(out_dir), seed=5)
+
+    from comic_text_detector_tpu.data.db_dataset import DBDataset
+
+    cache_dir = str(tmp_path / "prep")
+    a = DBDataset(str(out_dir), None, img_size=128)
+    if not len(a):
+        pytest.skip("renderer placed no text lines")
+    a.enable_prepared_cache(disk_dir=cache_dir)
+    item_a = a[0]
+    assert osp.exists(osp.join(cache_dir, "prep_128_0.npz"))
+
+    b = DBDataset(str(out_dir), None, img_size=128)
+    b.enable_prepared_cache(disk_dir=cache_dir)
+    item_b = b[0]
+    assert 0 in b._prep_cache  # loaded from disk into the memory tier
+    for k in ("imgs", "shrink_map", "shrink_mask", "threshold_map", "threshold_mask"):
+        np.testing.assert_array_equal(item_a[k], item_b[k])
