@@ -115,10 +115,33 @@ def main() -> None:
     full = lambda: R.refine_windows(img_dev, mask_dev, boxes_d, valid_d, 1)
     t("FULL refine_windows dispatch", full, n=10)
 
-    n_disp = (len(windows) + R.SLOTS - 1) // R.SLOTS
-    t0 = time.perf_counter()
-    jax.block_until_ready(R.refine_page(img_dev, mask_dev, windows, 1))
-    print(f"{'refine_page (' + str(n_disp) + ' dispatches)':42s} {(time.perf_counter()-t0)*1e3:8.2f} ms")
+    # --- per-bucket dispatch timings on the real page's window set ---
+    groups: dict[int, list[int]] = {}
+    for j, (x1, y1, x2, y2) in enumerate(windows):
+        groups.setdefault(R._bucket_index(int(x2 - x1), int(y2 - y1)), []).append(j)
+    for bi, idxs in sorted(groups.items()):
+        exact = bi >= 0
+        bh, bw, slots, cap = R.BUCKETS[bi if exact else -1]
+        n_disp = (len(idxs) + slots - 1) // slots
+        sel = idxs[:slots]
+        bb = np.zeros((slots, 4), np.int32)
+        bb[:, 2:] = 1
+        bb[: len(sel)] = windows[sel]
+        vv = np.zeros((slots,), bool)
+        vv[: len(sel)] = True
+        pp = np.zeros((slots,), np.int32)
+        bb_d, vv_d, pp_d = jnp.asarray(bb), jnp.asarray(vv), jnp.asarray(pp)
+
+        def one_dispatch():
+            return R._refine_windows_jit(
+                img_dev[None], mask_dev[None], bb_d, vv_d, pp_d,
+                jnp.int32(1), (bh, bw), cap, exact,
+            )
+        t(f"bucket {bh}x{bw} ({len(idxs)} win, {n_disp} disp)", one_dispatch)
+
+    def whole_page():
+        return R.refine_page(img_dev, mask_dev, windows, 1)
+    t("refine_page (all buckets, whole page)", whole_page, n=10)
 
     # --- ON-HARDWARE equality: Pallas fused CC+ids vs the independent grid
     # sweeps + cumsum/gather compaction, on the real candidate set ---
