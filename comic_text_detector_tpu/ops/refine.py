@@ -57,6 +57,8 @@ _BIG = 2**30  # python int: module-level jnp arrays become committed captured co
 # under a raised Mosaic vmem_limit_bytes (pallas_kernels._WINDOW_VMEM_LIMIT).
 BUCKETS = (
     (256, 256, 8, 2048),
+    (256, 512, 4, 8192),  # wide-mid (real pages: most "wide" blocks are <512 wide)
+    (512, 256, 4, 8192),  # tall-mid (most vertical ja columns are <512 tall)
     (256, 640, 4, 8192),  # wide blocks (horizontal titles/rows)
     (640, 256, 4, 8192),  # tall blocks (vertical ja columns)
     (512, 512, 2, 8192),  # big blocks; doubles as the resample fallback
