@@ -180,3 +180,55 @@ def test_db_trainer_smoke(tmp_path):
     out = db_trainer.train(hyp, max_steps=2)
     assert out["steps"] >= 1 and np.isfinite(out["last_metrics"]["loss"])
     assert osp.exists(tmp_path / "out" / "db_last.ctd")
+
+
+@pytest.mark.slow
+def test_db_trainer_chunked_resume(tmp_path):
+    """Chunked training (short resumed processes) must continue the epoch
+    counter, keep the full-horizon LR schedule, and preserve best_f1
+    bookkeeping so a worse later epoch cannot overwrite db_best."""
+    import json
+
+    from comic_text_detector_tpu.training import db_trainer
+
+    img_dir = _make_tiny_dataset(tmp_path)
+    save_dir = tmp_path / "out"
+
+    def hyp_for(epochs):
+        return {
+            "data": {
+                "train_img_dir": img_dir,
+                "val_img_dir": img_dir,
+                "imgsz": 128,
+                "augment": False,
+                "save_dir": str(save_dir),
+            },
+            "train": {
+                "epochs": epochs,
+                "schedule_epochs": 4,  # full-run horizon across all chunks
+                "batch_size": 2,
+                "lr0": 1e-3,
+                "lrf": 0.1,
+                "optimizer": "adam",
+                "weight_decay": 0.0,
+                "eval_interval": 1,
+                "accumulation_steps": 1,
+                "loss": "bce",
+            },
+        }
+
+    # chunk 1: epochs [0, 2)
+    db_trainer.train(hyp_for(2))
+    meta1 = json.load(open(save_dir / "db_last.ctd.meta.json"))
+    assert meta1["epoch"] == 1
+    best1 = meta1["best_f1"]
+
+    # chunk 2: resume -> epochs [2, 4)
+    hyp2 = hyp_for(4)
+    hyp2["resume"] = {"resume_training": True, "ckpt": str(save_dir / "db_last.ctd")}
+    out = db_trainer.train(hyp2)
+    meta2 = json.load(open(save_dir / "db_last.ctd.meta.json"))
+    assert meta2["epoch"] == 3
+    # best_f1 restored from db_last and only ever monotone non-decreasing
+    assert meta2["best_f1"] >= best1
+    assert out["best_f1"] == meta2["best_f1"]
