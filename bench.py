@@ -40,7 +40,10 @@ def main() -> None:
     if refine_backend != "device":
         mask_transfer = "grey"
 
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "flagship_r2.npz")
+    ckpt = os.environ.get(
+        "CTD_BENCH_CKPT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "flagship_r2.npz"),
+    )
     if os.path.exists(ckpt):
         # trained-on-synthetic flagship checkpoint: realistic detection
         # counts exercise the full host+device post-processing

@@ -118,6 +118,27 @@ def test_bucketed_large_window_bit_exact(box):
     assert outside.sum() == 0
 
 
+def test_mixed_bucket_page_bit_exact():
+    """One page whose windows route to three different shape buckets
+    (small / wide-mid / tall-mid) in a single refine_page call: the grouped
+    dispatches must each be bit-exact vs the host merge and OR cleanly onto
+    the shared canvas (refine_pages' bucket grouping loop)."""
+    img, mask = _page(8, H=576, W=576, noise=6)
+    boxes = [
+        (16, 16, 208, 208),    # small bucket (256x256)
+        (48, 240, 448, 420),   # wide-mid bucket (256x512)
+        (320, 16, 500, 540),   # tall-mid bucket (512x256)
+    ]
+    canvas = np.asarray(
+        R.refine_page(jnp.asarray(img), jnp.asarray(mask), np.asarray(boxes, np.int32), 0)
+    )
+    acc = np.zeros(mask.shape, bool)
+    for box in boxes:
+        x1, y1, x2, y2 = box
+        acc[y1:y2, x1:x2] |= _host_merged(img, mask, box, 0) > 0
+    np.testing.assert_array_equal(canvas > 0, acc)
+
+
 def test_paste_exact_matches_gather_paste():
     rng = np.random.default_rng(9)
     k, sh, sw = 3, 64, 96
