@@ -6,6 +6,7 @@ and the reference TextDetector runs it on the real example page at 1024px —
 the strongest end-to-end check: realistic detection counts through every
 order-dependent host path, asserted at the BASELINE targets."""
 
+import os
 import os.path as osp
 
 import numpy as np
@@ -24,7 +25,12 @@ from comic_text_detector_tpu.training.checkpoint import load_compact
 from tests import oracles
 
 EXAMPLE = "/root/reference/data/examples/AisazuNihaIrarenai-003.jpg"
-CKPT = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "data", "flagship_r2.npz")
+# CTD_PARITY_CKPT overrides the checkpoint under test (e.g. a freshly
+# assembled flagship_r3.npz before promoting it to the bench default)
+CKPT = os.environ.get(
+    "CTD_PARITY_CKPT",
+    osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "data", "flagship_r2.npz"),
+)
 
 needs_ckpt = pytest.mark.skipif(not osp.exists(CKPT), reason="flagship checkpoint not built")
 
