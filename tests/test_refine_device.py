@@ -103,6 +103,39 @@ def test_refine_page_empty():
     assert c.sum() == 0
 
 
+def test_out_of_bounds_block_is_harmless():
+    """A block mapped past the page edge (a DB line firing in the letterbox
+    pad unprojects below the image — observed with a mid-training DB head)
+    yields a degenerate expand_textwindow window (y1 > y2).  The reference
+    CRASHES on this (utils/textmask.py:159-169 crops an empty window and
+    cv2.cvtColor asserts); both of our refine backends must ignore the
+    window and leave the rest of the page untouched."""
+    from comic_text_detector_tpu.utils.imgproc import expand_textwindow
+
+    img, mask = _page(6, noise=3)
+    h, w = mask.shape
+    bad = [134, h + 1, 155, h + 11]  # entirely below the page
+    win = expand_textwindow(img.shape, bad, expand_r=16)
+    assert win[1] > win[3]  # degenerate after clamping, like the reference's
+
+    good = [16, 16, 272, 272]
+    boxes = np.array([good, win], np.int32)
+    with_bad = np.asarray(R.refine_page(jnp.asarray(img), jnp.asarray(mask), boxes, 0))
+    without = np.asarray(R.refine_page(jnp.asarray(img), jnp.asarray(mask), boxes[:1], 0))
+    np.testing.assert_array_equal(with_bad, without)
+
+    class _Blk:
+        def __init__(self, xyxy):
+            self.xyxy = xyxy
+
+        def lines_array(self, dtype=np.int64):
+            return np.zeros((0, 4, 2), dtype)
+
+    host = tm.refine_mask(img, mask.copy(), [_Blk(good), _Blk(bad)])
+    host_only = tm.refine_mask(img, mask.copy(), [_Blk(good)])
+    np.testing.assert_array_equal(host, host_only)
+
+
 @pytest.mark.parametrize("box", [(20, 30, 420, 330), (10, 10, 560, 240), (30, 5, 230, 500)])
 def test_bucketed_large_window_bit_exact(box):
     """Windows larger than 256 in one/both dims route to a bigger shape
