@@ -448,20 +448,23 @@ _LO = 64  # low-radix width of the factored one-hot bincount (lane-friendly)
 def _component_sums(
     ids: jax.Array, quantities: jax.Array, matmul: bool | None = None, cap: int = CAP
 ) -> jax.Array:
-    """Per-component sums of 0/1 quantities, scatter-free.
+    """Per-component sums of small-integer quantities, scatter-free.
 
     ids (K, sh, sw) int32 component ranks (0 = background; ranks >= cap clip
     to 0, i.e. beyond-capacity components are never accepted — conservative
-    for noise-heavy candidates); quantities (Q, K, sh, sw) float32, each 0/1.
-    Returns (Q, K, cap) float32 sums.
+    for noise-heavy candidates); quantities (Q, K, sh, sw) float32 with
+    values in {-1, 0, 1}.  Returns (Q, K, cap) float32 sums.
 
     TPU scatters serialize (~10 ms per 0.5M-row scatter — they were the fat
     half of the refine dispatch).  Instead the rank factors as
     ``id = hi*_LO + lo`` and the bincount becomes one batched MXU matmul
     between the two one-hot factors:  out[hi, lo] = sum_n q_n * [hi_n==hi] *
     [lo_n==lo].  The factored one-hots are (N, cap/_LO) + (N, _LO) instead
-    of the (N, cap) full one-hot (32x less HBM traffic), and 0/1 bf16
-    operands with f32 accumulation keep integer counts < 2^24 exact."""
+    of the (N, cap) full one-hot (32x less HBM traffic), and ±1/0 bf16
+    operands with f32 accumulation keep integer counts < 2^24 exact (the
+    signed form lets callers fold an on-vs-off pair of 0/1 quantities into
+    ONE ``(2*pred - 1) * mask`` quantity — half the einsum volume for the
+    accept tests, whose threshold is on - off > 0)."""
     q, k = quantities.shape[0], ids.shape[0]
     n = ids.shape[1] * ids.shape[2]
     flat = jnp.where(ids < cap, ids, 0).reshape(k, n)
@@ -469,14 +472,14 @@ def _component_sums(
         matmul = jax.default_backend() == "tpu"
     if matmul:
         # bf16 operands ride the MXU natively; CPU XLA lacks bf16 dots, so
-        # the (equally exact for 0/1 values) f32 form serves tests there
+        # the (equally exact for ±1/0 values) f32 form serves tests there
         dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         hi = flat // _LO
         lo = flat % _LO
         oh_hi = hi[:, :, None] == jnp.arange(cap // _LO, dtype=jnp.int32)[None, None, :]
         oh_lo = lo[:, :, None] == jnp.arange(_LO, dtype=jnp.int32)[None, None, :]
-        qb = quantities.reshape(q, k, n) != 0
-        lhs = (oh_hi[None] & qb[..., None]).astype(dt)  # (Q, K, N, HI)
+        qv = quantities.reshape(q, k, n).astype(dt)
+        lhs = jnp.where(oh_hi[None], qv[..., None], 0).astype(dt)  # (Q, K, N, HI)
         out = jnp.einsum(
             "qknh,knl->qkhl",
             lhs,
@@ -557,10 +560,13 @@ def _merge_labeled(
     reference's xor_merged < xor_origin test, reference textmask.py:95-110;
     components are disjoint, so all decisions commute)."""
     new = fg & ~merged
-    on = (new & pred).astype(jnp.float32)
-    off = (new & ~pred).astype(jnp.float32)
-    sums = _component_sums(ids, jnp.stack([on, off]), cap=cap)  # (2, K, cap)
-    take = _take_accept(ids, sums[0] > sums[1])
+    # one SIGNED quantity instead of an (on, off) pair: the accept test is
+    # on > off, i.e. sum over the un-merged component pixels of +1 where the
+    # prediction agrees / -1 where it misses — half the einsum volume of the
+    # two-quantity form, identical decisions
+    signed = jnp.where(new, jnp.where(pred, 1.0, -1.0), 0.0)
+    sums = _component_sums(ids, signed[None], cap=cap)  # (1, K, cap)
+    take = _take_accept(ids, sums[0] > 0)
     return merged | (fg & take)
 
 
@@ -582,16 +588,17 @@ def _fill_holes(
     adopted."""
     inv = ~merged
     ids = _component_ids(inv)
-    on = (inv & pred & in_window).astype(jnp.float32)
-    off = (inv & ~pred & in_window).astype(jnp.float32)
-    ones = inv.astype(jnp.float32)
-    dead = (inv & ~in_window).astype(jnp.float32)
-    sums = _component_sums(ids, jnp.stack([on, off, ones, dead]), cap=cap)  # (4, K, cap)
-    eff_area = sums[2] - sums[3]  # (K, CAP), dead-zone pixels removed
+    # signed on-vs-off quantity (see _merge_labeled) + effective area in one
+    # pass: area counts +1 per component pixel minus the padding dead zone,
+    # i.e. +1 inside the window and 0 outside — which is just in_window
+    signed = jnp.where(inv & in_window, jnp.where(pred, 1.0, -1.0), 0.0)
+    area_eff = (inv & in_window).astype(jnp.float32)
+    sums = _component_sums(ids, jnp.stack([signed, area_eff]), cap=cap)  # (2, K, cap)
+    eff_area = sums[1]  # (K, CAP), dead-zone pixels removed
     merged_area = jnp.sum(merged & in_window, axis=(1, 2)).astype(jnp.float32)  # cv2 label 0
     all_areas = jnp.concatenate([merged_area[:, None], eff_area[:, 1:]], axis=1)
     thresh = jax.lax.top_k(all_areas, 2)[0][:, 1]  # second largest
-    accept = (sums[0] > sums[1]) & (eff_area < thresh[:, None])
+    accept = (sums[0] > 0) & (eff_area < thresh[:, None])
     take = _take_accept(ids, accept)
     return merged | (inv & take & in_window)
 

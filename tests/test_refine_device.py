@@ -194,12 +194,15 @@ def test_paste_exact_matches_gather_paste():
 
 def test_component_sums_matmul_matches_scatter():
     """The TPU factored one-hot-matmul bincount must agree exactly with the
-    scatter-add formulation (0/1 bf16 operands + f32 accumulation keep
-    integer counts exact)."""
+    scatter-add formulation (±1/0 bf16 operands + f32 accumulation keep
+    integer counts exact) — including the SIGNED quantities the merge and
+    hole-fill accept tests fold their on-vs-off pairs into."""
     rng = np.random.default_rng(11)
     k = 3
     ids = jnp.asarray(rng.integers(0, R.CAP + 64, (k, R.S, R.S)), jnp.int32)
-    quantities = jnp.asarray((rng.random((4, k, R.S, R.S)) < 0.3), jnp.float32)
+    q01 = (rng.random((4, k, R.S, R.S)) < 0.3).astype(np.float32)
+    q01[1] -= 2.0 * (rng.random((k, R.S, R.S)) < 0.3) * q01[1]  # mix in -1s
+    quantities = jnp.asarray(q01, jnp.float32)
     via_scatter = np.asarray(R._component_sums(ids, quantities, matmul=False))
     via_matmul = np.asarray(R._component_sums(ids, quantities, matmul=True))
     np.testing.assert_array_equal(via_matmul, via_scatter)
