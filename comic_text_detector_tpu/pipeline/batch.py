@@ -27,6 +27,7 @@ from comic_text_detector_tpu.config import YOLOV5S_CFG
 from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects, db_decode_full_device
 from comic_text_detector_tpu.ops.nms import nms_single
 from comic_text_detector_tpu.ops.resize import letterbox_device_u8, letterbox_shape, resize_bilinear_fast
+from comic_text_detector_tpu.pipeline.detector import upload_page
 from comic_text_detector_tpu.postproc.textblock import group_output
 from comic_text_detector_tpu.postproc.textmask import refine_mask, refine_undetected_mask
 
@@ -118,7 +119,7 @@ class BatchTextDetector:
         for img in pages:
             im_h, im_w = img.shape[:2]
             _, _, dw, dh, _ = letterbox_shape(im_h, im_w, size)
-            orig = jnp.asarray(img)  # one upload serves letterbox AND refine
+            orig = upload_page(img)  # one upload serves letterbox AND refine
             origs.append(orig)
             lbs.append(letterbox_device_u8(orig, size))
             metas.append((im_h, im_w, dw, dh))

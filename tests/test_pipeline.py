@@ -121,3 +121,23 @@ def test_traverse_by_dict(tmp_path, detector, page):
     model2annotations(detector, str(src), str(dst), save_json=True, progress=False)
     traverse_by_dict(str(src), str(dst))
     assert osp.exists(dst / "viz-pg.png") and osp.exists(dst / "refined-pg.png")
+
+
+def test_upload_page_grey_roundtrip():
+    """Grayscale-content pages upload as ONE channel and expand back on
+    device bit-exactly; color pages pass through untouched."""
+    from comic_text_detector_tpu.pipeline.detector import upload_page
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 255, (97, 113), np.uint8)
+    grey3 = np.repeat(g[:, :, None], 3, axis=2)
+    np.testing.assert_array_equal(np.asarray(upload_page(grey3)), grey3)
+
+    color = rng.integers(0, 255, (97, 113, 3), np.uint8)
+    np.testing.assert_array_equal(np.asarray(upload_page(color)), color)
+
+    # almost-grey page (one differing pixel beyond the sample stride) must
+    # NOT take the single-channel path
+    tricky = grey3.copy()
+    tricky[5, 7, 2] ^= 1
+    np.testing.assert_array_equal(np.asarray(upload_page(tricky)), tricky)
