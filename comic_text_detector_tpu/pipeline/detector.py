@@ -341,8 +341,9 @@ class TextDetector:
                 img_dev, mask_dev, canvas, refined_orig, undetected_mask,
                 blk_list, img_shape, refine_mode,
             )
-            if extra is not None:
-                canvas = jnp.bitwise_or(canvas, extra)
+            if extra is None:
+                return refined_orig  # nothing rescued: skip the re-download
+            canvas = jnp.bitwise_or(canvas, extra)
 
         return download_canvas(canvas)
 
