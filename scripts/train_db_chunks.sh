@@ -34,7 +34,10 @@ EOF
     break
   fi
   echo "$(date +%H:%M:%S) chunk start from epoch $EPOCH (+$CHUNK)" >> "$LOG"
-  CTD_DB_RESUME=1 CTD_DB_EPOCHS_PER_RUN=$CHUNK python scripts/train_db_r3.py >> "$LOG" 2>&1
+  # per-chunk wall cap: ~40 min/epoch under host load + compile headroom;
+  # a hung remote TPU service otherwise wedges the driver forever
+  timeout ${CTD_DB_CHUNK_TIMEOUT:-14400} env CTD_DB_RESUME=1 CTD_DB_EPOCHS_PER_RUN=$CHUNK \
+    python scripts/train_db_r3.py >> "$LOG" 2>&1
   rc=$?
   echo "$(date +%H:%M:%S) chunk exited rc=$rc" >> "$LOG"
   # rc!=0 (OOM-kill/compile hiccup) still resumes from the last saved ckpt;
