@@ -182,6 +182,39 @@ def test_flagship_1024_bench_configuration_golden(flagship_pair):
 
 @needs_ckpt
 @pytest.mark.slow
+def test_flagship_annotation_mode_golden(flagship_pair):
+    """model2annotations' production configuration — REFINEMASK_ANNOTATION +
+    keep_undetected_mask (reference inference.py:35, textmask.py:135-169)
+    — golden-gated against the executed reference through BOTH refine
+    backends.  Gates sit just under the measured margins (host 0.9955,
+    device 0.9830 refined IoU on this page) so regressions surface."""
+    import cv2
+
+    from comic_text_detector_tpu.constants import REFINEMASK_ANNOTATION
+
+    ref_det, my_host, variables = flagship_pair
+    img = cv2.imread(EXAMPLE)
+    _, ref_refined, ref_blks = ref_det(
+        img.copy(), refine_mode=REFINEMASK_ANNOTATION, keep_undetected_mask=True
+    )
+    br = ref_refined > 0
+
+    my_dev = TextDetector(
+        variables=variables, input_size=1024, act="leaky",
+        refine_backend="device", mask_transfer="packed",
+    )
+    for label, det, gate in [("host", my_host, 0.99), ("device", my_dev, 0.975)]:
+        _, refined, blks = det(
+            img.copy(), refine_mode=REFINEMASK_ANNOTATION, keep_undetected_mask=True
+        )
+        ar = refined > 0
+        iou_r = np.logical_and(ar, br).sum() / max(np.logical_or(ar, br).sum(), 1)
+        assert iou_r >= gate, f"{label}: annotation-mode refined IoU {iou_r:.4f}"
+        assert abs(len(blks) - len(ref_blks)) <= 1
+
+
+@needs_ckpt
+@pytest.mark.slow
 def test_rotated_vertical_page_golden(flagship_pair, tmp_path):
     """Rotated/vertical-dense synthetic page (VERDICT round-1: rotated-text
     coverage was absent): same-weights parity of blocks/lines/mask on a page
