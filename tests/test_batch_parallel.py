@@ -52,6 +52,33 @@ def test_batch_detector_matches_single(pages):
     assert len(blk_b) == len(blk_s)
 
 
+def test_batch_mixed_grey_color_pages(pages):
+    """A batch mixing grey-content pages (single-channel upload path) with a
+    color page must match the per-page single detector exactly — the
+    upload_page fast path is per-page and must not cross-contaminate."""
+    rng = np.random.default_rng(5)
+    grey = pages[0]  # the example page decodes with B==G==R
+    assert np.array_equal(grey[..., 0], grey[..., 1])
+    color = grey.copy()
+    noise = rng.integers(0, 20, grey.shape[:2], np.uint8)
+    color[..., 2] = np.minimum(255 - noise, color[..., 2]) + noise  # break B==G==R
+    assert not np.array_equal(color[..., 1], color[..., 2])
+
+    bdet = BatchTextDetector.random_init(
+        batch_size=2, input_size=256, half=False,
+        refine_backend="device", mask_transfer="packed",
+    )
+    sdet = TextDetector(
+        variables=bdet.variables, input_size=256, act="leaky",
+        refine_backend="device", mask_transfer="packed",
+    )
+    for (m_b, mr_b, blk_b), page in zip(bdet.process_batch([grey, color]), [grey, color]):
+        m_s, mr_s, blk_s = sdet(page)
+        np.testing.assert_array_equal(m_b, m_s)
+        np.testing.assert_array_equal(mr_b, mr_s)
+        assert len(blk_b) == len(blk_s)
+
+
 @pytest.mark.slow
 def test_batch_detector_sharded(pages):
     mesh = make_mesh(8)
