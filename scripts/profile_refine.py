@@ -93,6 +93,12 @@ def main() -> None:
     ids = t("CC+ids fused Pallas (32 windows)", lambda: ids_local_fn(fgs))
     ids_grid_fn = jax.jit(lambda f: R._component_ids(f, backend="grid"))
     ids_grid = t("CC+ids grid oracle (32 windows)", lambda: ids_grid_fn(fgs))
+    # labels-only kernel (no in-VMEM rank phase): its delta vs the fused
+    # kernel is the budget an XLA-side rank lookup would have to beat
+    from comic_text_detector_tpu.ops.pallas_kernels import cc_windows_local
+
+    labels_fn = jax.jit(lambda f: cc_windows_local(f.astype(jnp.uint8)))
+    t("CC labels-only Pallas (32 windows)", lambda: labels_fn(fgs))
 
     pred = jnp.zeros((R.SLOTS, R.S, R.S), bool) | (win_msk > 60)
     merge = jax.jit(
