@@ -446,7 +446,11 @@ _LO = 64  # low-radix width of the factored one-hot bincount (lane-friendly)
 
 
 def _component_sums(
-    ids: jax.Array, quantities: jax.Array, matmul: bool | None = None, cap: int = CAP
+    ids: jax.Array,
+    quantities: jax.Array,
+    matmul: bool | None = None,
+    cap: int = CAP,
+    dtype=None,
 ) -> jax.Array:
     """Per-component sums of small-integer quantities, scatter-free.
 
@@ -472,8 +476,14 @@ def _component_sums(
         matmul = jax.default_backend() == "tpu"
     if matmul:
         # bf16 operands ride the MXU natively; CPU XLA lacks bf16 dots, so
-        # the (equally exact for ±1/0 values) f32 form serves tests there
-        dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        # the (equally exact for ±1/0 values) f32 form serves tests there.
+        # dtype='int8' is the half-the-bytes s8xs8->s32 variant (v5e native;
+        # ±1/0 values are int8-exact) — A/B'd by scripts/profile_refine.py.
+        if dtype is None:
+            dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        else:
+            dt = jnp.dtype(dtype)
+        acc_t = jnp.int32 if dt == jnp.int8 else jnp.float32
         hi = flat // _LO
         lo = flat % _LO
         oh_hi = hi[:, :, None] == jnp.arange(cap // _LO, dtype=jnp.int32)[None, None, :]
@@ -484,9 +494,9 @@ def _component_sums(
             "qknh,knl->qkhl",
             lhs,
             oh_lo.astype(dt),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
         )
-        return out.reshape(q, k, cap)
+        return out.reshape(q, k, cap).astype(jnp.float32)
     # off-TPU (tests): one batched scatter-add, which CPU handles well
     gid = (jnp.arange(k, dtype=jnp.int32)[:, None] * cap + flat).reshape(-1)
     vals = quantities.reshape(q, -1).T  # (k*N, q)

@@ -108,6 +108,11 @@ def main() -> None:
     f0 = fgs.reshape(4, R.SLOTS, R.S, R.S)[0]
     i0 = ids.reshape(4, R.SLOTS, R.S, R.S)[0]
     t("merge_labeled (1 of 4)", lambda: merge(merged0, f0, i0, pred))
+    # A/B the component-sum einsum operand dtype (bf16 default vs s8xs8->s32)
+    signed_q = jnp.where(f0, jnp.where(pred, 1.0, -1.0), 0.0)[None]
+    for dt in ("bfloat16", "int8"):
+        sums_dt = jax.jit(lambda i, q, d=dt: R._component_sums(i, q, matmul=True, dtype=d))
+        t(f"component_sums signed ({dt})", lambda: sums_dt(i0, signed_q))
     take = jax.jit(lambda i, a: R._take_accept(i, a))
     acc_probe = jnp.asarray(np.random.default_rng(0).random((R.SLOTS, R.CAP)) < 0.5)
     t("take_accept (factored)", lambda: take(i0, acc_probe))

@@ -206,6 +206,9 @@ def test_component_sums_matmul_matches_scatter():
     via_scatter = np.asarray(R._component_sums(ids, quantities, matmul=False))
     via_matmul = np.asarray(R._component_sums(ids, quantities, matmul=True))
     np.testing.assert_array_equal(via_matmul, via_scatter)
+    # the s8xs8->s32 MXU variant is exact too (±1/0 operands)
+    via_int8 = np.asarray(R._component_sums(ids, quantities, matmul=True, dtype="int8"))
+    np.testing.assert_array_equal(via_int8, via_scatter)
 
 
 def test_batch_rescue_undetected(monkeypatch):
