@@ -82,7 +82,9 @@ def main() -> None:
         variables, batch_size=bsz, input_size=1024, half=half,
         refine_backend=refine_backend, mask_transfer=mask_transfer,
     )
-    n_pages = bsz * int(os.environ.get("CTD_BENCH_BATCHES", "6"))
+    # enough pages that tunnel-bandwidth variance averages out (per-page
+    # cost dropped ~4x since round 2; a short stream reads as noise)
+    n_pages = bsz * int(os.environ.get("CTD_BENCH_BATCHES", "12"))
     depth = int(os.environ.get("CTD_BENCH_DEPTH", "2"))
     pages = [img] * n_pages
     list(bdet.stream(iter(pages[: bsz * 2]), prefetch=depth))  # compile + warm
