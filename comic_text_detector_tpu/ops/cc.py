@@ -99,6 +99,18 @@ def connected_components(mask: jax.Array, connectivity: int = 8, backend: str = 
     lin = (jnp.arange(h * w, dtype=jnp.int32)).reshape(h, w)
     labels0 = jnp.where(mask, lin, _BIG)
 
+    if backend == "vmem":
+        # whole-canvas in-VMEM fixpoint (the refine windows' labels-only
+        # kernel on a 1-window batch): zero HBM round-trips between
+        # propagation rounds.  Fits canvases <= 1M elements (~40 MB scoped
+        # VMEM); candidate replacement for the banded sweeps on the 1024²
+        # DB decode — hardware-validated by the queued vmem_check before
+        # 'auto' routes here.
+        from comic_text_detector_tpu.ops.pallas_kernels import cc_windows_local
+
+        out = cc_windows_local(mask.astype(jnp.uint8)[None])[0]
+        return jnp.where(mask, out + 1, 0).astype(jnp.int32)
+
     if backend == "pallas" or (backend == "auto" and _use_pallas(mask.shape)):
         from comic_text_detector_tpu.ops.pallas_kernels import cc_col_sweep, cc_row_sweep
 

@@ -120,3 +120,19 @@ def test_cc_windows_local_interpret():
         ref = np.asarray(connected_components(jnp.asarray(masks[i] > 0), 8, "xla"))
         expect = np.where(masks[i] > 0, ref.astype(np.int64) - 1, _CC_BIG)
         np.testing.assert_array_equal(out[i], expect, err_msg=f"window {i}")
+
+
+def test_vmem_backend_matches_xla():
+    """The whole-canvas in-VMEM CC backend ('vmem' — the refine windows'
+    labels-only kernel on a 1-window batch) must agree exactly with the XLA
+    scan path, including 8-connectivity diagonals."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from comic_text_detector_tpu.ops.cc import connected_components
+
+    rng = np.random.default_rng(17)
+    m = jnp.asarray(rng.random((64, 128)) < 0.4)
+    a = np.asarray(connected_components(m, 8, "xla"))
+    b = np.asarray(connected_components(m, 8, "vmem"))
+    np.testing.assert_array_equal(a, b)
