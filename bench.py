@@ -20,6 +20,30 @@ import time
 import numpy as np
 
 
+def _mixed_stream(example: np.ndarray, n_pages: int) -> list:
+    """Fixed-seed heterogeneous page stream: the example page + two synthetic
+    renderer pages at different aspect ratios (a tall portrait and a wide
+    spread), cycled to ``n_pages``.  Mirrors the reference batch driver's
+    arbitrary-directory walks (reference inference.py:19-70), where page
+    shapes and text densities vary within one run."""
+    from comic_text_detector_tpu.data.render import ComicTextRenderer
+
+    rng = np.random.default_rng(7)
+    rend = ComicTextRenderer(seed=7, bubble_prob=0.5, blocks_per_page=(4, 10))
+    synth = []
+    for h, w in ((1500, 1060), (1056, 1500)):
+        g = np.linspace(180, 240, h).astype(np.uint8)
+        bg = np.broadcast_to(g[:, None, None], (h, w, 3)).copy()
+        bg = (
+            (bg.astype(np.int16) + rng.integers(-18, 18, (h, w, 1)))
+            .clip(0, 255)
+            .astype(np.uint8)
+        )
+        synth.append(rend.render_page(bg)["img"])
+    cycle = [example] + synth
+    return [cycle[i % len(cycle)] for i in range(n_pages)]
+
+
 def main() -> None:
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")  # real TPU when present
     import jax
@@ -86,7 +110,16 @@ def main() -> None:
     # cost dropped ~4x since round 2; a short stream reads as noise)
     n_pages = bsz * int(os.environ.get("CTD_BENCH_BATCHES", "12"))
     depth = int(os.environ.get("CTD_BENCH_DEPTH", "2"))
-    pages = [img] * n_pages
+    mixed = os.environ.get("CTD_BENCH_MIXED", "0") == "1"
+    if mixed:
+        # heterogeneous stream: fixed-seed renderer pages at two extra
+        # aspect ratios interleaved with the example page, so refine cost,
+        # bucket mix, upload bytes and detection counts vary page to page
+        # (a homogeneous stream can overfit optimizations to one page's
+        # window profile — VERDICT r3 weak #5)
+        pages = _mixed_stream(img, n_pages)
+    else:
+        pages = [img] * n_pages
     list(bdet.stream(iter(pages[: bsz * 2]), prefetch=depth))  # compile + warm
     t0 = time.perf_counter()
     results = list(bdet.stream(iter(pages), prefetch=depth))
@@ -106,7 +139,8 @@ def main() -> None:
             {
                 "metric": (
                     f"volume-stream pages/sec/chip @1024px (full pipeline, B={bsz}, "
-                    f"{'bf16' if half else 'f32'}, {jax.devices()[0].device_kind}; "
+                    f"{'bf16' if half else 'f32'}{', mixed pages' if mixed else ''}, "
+                    f"{jax.devices()[0].device_kind}; "
                     f"single-page p50 {p50_ms:.0f} ms)"
                 ),
                 "value": round(pages_per_sec, 4),

@@ -83,6 +83,22 @@ def _use_pallas(shape) -> bool:
     )
 
 
+def _use_vmem(shape) -> bool:
+    """Whole-canvas in-VMEM fixpoint: hardware-validated r4 (scripts/
+    vmem_check.py, data/vmem_check.log) — bit-equal to the XLA path at
+    1024² on a real DB shrink bitmap (28.6k comps), a serpentine snake and
+    45%-dense noise, and faster than the banded sweeps on the dense cases
+    (22.4 vs 25.3 ms real page, 37.6 vs 42.4 ms dense noise).  Fits
+    canvases <= 1M elements (~40 MB scoped VMEM at the measured ~10-copy
+    labels-only footprint)."""
+    return (
+        jax.default_backend() == "tpu"
+        and shape[0] % 8 == 0
+        and shape[1] % 128 == 0
+        and shape[0] * shape[1] <= 1024 * 1024
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def connected_components(mask: jax.Array, connectivity: int = 8, backend: str = "auto") -> jax.Array:
     """Label connected True-regions of a (H, W) bool mask.
@@ -99,13 +115,12 @@ def connected_components(mask: jax.Array, connectivity: int = 8, backend: str = 
     lin = (jnp.arange(h * w, dtype=jnp.int32)).reshape(h, w)
     labels0 = jnp.where(mask, lin, _BIG)
 
-    if backend == "vmem":
+    if backend == "vmem" or (backend == "auto" and _use_vmem(mask.shape)):
         # whole-canvas in-VMEM fixpoint (the refine windows' labels-only
         # kernel on a 1-window batch): zero HBM round-trips between
-        # propagation rounds.  Fits canvases <= 1M elements (~40 MB scoped
-        # VMEM); candidate replacement for the banded sweeps on the 1024²
-        # DB decode — hardware-validated by the queued vmem_check before
-        # 'auto' routes here.
+        # propagation rounds.  'auto' routes fitting canvases here since the
+        # r4 hardware vmem_check (see _use_vmem) proved equality + a win
+        # over the banded sweeps on the 1024² DB-decode labeling.
         from comic_text_detector_tpu.ops.pallas_kernels import cc_windows_local
 
         out = cc_windows_local(mask.astype(jnp.uint8)[None])[0]

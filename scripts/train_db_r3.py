@@ -35,6 +35,13 @@ N_VAL = int(os.environ.get("CTD_DB_VAL", "48"))
 IMGSZ = int(os.environ.get("CTD_TRAIN_IMGSZ", "512"))
 EPOCHS = int(os.environ.get("CTD_DB_EPOCHS", "40"))
 BATCH = int(os.environ.get("CTD_DB_BATCH", "8"))
+LR0 = float(os.environ.get("CTD_DB_LR0", "1e-3"))
+EVAL_INT = int(os.environ.get("CTD_DB_EVAL_INT", "5"))
+# Fine-tune entry: when no db_last.ctd exists but a deploy npz does (the
+# r3 work dir was ephemeral), seed the DB head from its text_det weights
+# instead of re-grafting fresh upconv3/4 (which would discard the trained
+# head). Set CTD_DB_WARMSTART=path/to/flagship_rN.npz to enable.
+WARMSTART = os.environ.get("CTD_DB_WARMSTART", "")
 
 
 def main() -> None:
@@ -74,6 +81,9 @@ def main() -> None:
         )
         open(osp.join(work, ".rendered_r3"), "w").write(f"{n1},{n2}")
         print(f"rendered {n1} train / {n2} val pages in {time.time()-t0:.0f}s", flush=True)
+    if os.environ.get("CTD_DB_RENDER_ONLY") == "1":
+        print("render-only mode: dataset ready, exiting", flush=True)
+        return
 
     # trained trunk from the r2 flagship: backbone <- blk_det, seg <- text_seg
     deploy = load_compact(osp.join(ROOT, "data", "flagship_r2.npz"))
@@ -107,12 +117,12 @@ def main() -> None:
         "train": {
             "epochs": EPOCHS,
             "batch_size": BATCH,
-            "lr0": 1e-3,
+            "lr0": LR0,
             "lrf": 0.05,
             "optimizer": "adam",
             "momentum": 0.9,
             "weight_decay": 0.0,
-            "eval_interval": 5,
+            "eval_interval": EVAL_INT,
             "accumulation_steps": 1,
             "loss": "bce",
         },
@@ -137,8 +147,32 @@ def main() -> None:
     if per_run:
         hyp_db["train"]["schedule_epochs"] = EPOCHS  # full cosine horizon
         hyp_db["train"]["epochs"] = min(EPOCHS, saved_epoch + 1 + per_run)
+
+    variables = None
+    if WARMSTART and "resume" not in hyp_db:
+        # Seed the whole train tree (frozen trunk + trained DB head) from a
+        # deploy checkpoint: init for structure, graft for the trunk, then
+        # overwrite dbnet with the previously-trained head.
+        import jax.numpy as jnp
+
+        from comic_text_detector_tpu.constants import TEXTDET_DET
+        from comic_text_detector_tpu.models.detector import build_train_model
+        from comic_text_detector_tpu.training.db_trainer import graft_db_variables
+
+        warm = load_compact(WARMSTART)
+        model = build_train_model(act="leaky", with_db=True)
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32),
+                forward_mode=TEXTDET_DET,
+            )
+        variables = graft_db_variables(variables, unet_variables)
+        variables["params"]["dbnet"] = warm["params"]["text_det"]
+        variables["batch_stats"]["dbnet"] = warm["batch_stats"]["text_det"]
+        unet_variables = None
+        print(f"warm-started dbnet from {WARMSTART}", flush=True)
     t0 = time.time()
-    db_out = db_trainer.train(hyp_db, unet_variables=unet_variables)
+    db_out = db_trainer.train(hyp_db, variables=variables, unet_variables=unet_variables)
     db_state = db_out["state"]
     print(
         f"db done in {time.time()-t0:.0f}s: best_f1={db_out['best_f1']:.4f} "

@@ -20,6 +20,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    """Build the native C++ extension before collection so the host-decode
+    tests can never skip silently (they previously skipped 13 tests whenever
+    nobody remembered to run ``make -C native``).  Hard-fail when a
+    toolchain exists but the build breaks; only a missing compiler skips."""
+    import shutil
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    native_dir = os.path.join(root, "native")
+    if shutil.which("g++") is None and shutil.which("cc") is None:
+        return  # no toolchain in this environment: the tests may skip
+    r = subprocess.run(
+        ["make", "-C", native_dir], capture_output=True, text=True
+    )
+    if r.returncode != 0:
+        raise pytest.UsageError(
+            f"native extension build failed (toolchain present):\n"
+            f"{r.stdout}\n{r.stderr}"
+        )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
