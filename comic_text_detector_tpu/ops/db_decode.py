@@ -37,13 +37,14 @@ def db_device_decode(shrink_map: jax.Array, thresh, capacity: int = MAX_DB_COMPO
     return component_stats(labels, shrink_map, capacity)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def db_decode_full_device(
     shrink_map: jax.Array,
     thresh,
     capacity: int = MAX_DB_COMPONENTS,
     angle_steps: int = 90,
     max_boundary: int = 8192,
+    rank_ids: bool | None = None,
 ):
     """Fused all-device DB decode: prob map -> (boxes, scores, valid).
 
@@ -64,7 +65,25 @@ def db_decode_full_device(
     """
     h, w = shrink_map.shape
     bitmap = shrink_map > thresh
-    labels = connected_components(bitmap, 8)  # raw = min linear index + 1
+    # On TPU the fused CC+rank kernel emits DENSE raster-ordered component
+    # ids directly (1-based by root linear index — the same numbering the
+    # sorted-boundary-table path derives), which deletes the label->dense
+    # LUT scatter, the full-canvas dense gather, and the 1M-row stats
+    # scatter-add below (each ~12 ms/M on v5e).  Off-TPU (and for canvases
+    # beyond the in-VMEM budget) the original label formulation serves.
+    if rank_ids is None:
+        rank_ids = (
+            jax.default_backend() == "tpu"
+            and h % 8 == 0
+            and w % 128 == 0
+            and h * w <= 1024 * 1024
+        )
+    if rank_ids:
+        from comic_text_detector_tpu.ops.pallas_kernels import cc_ids_windows_local
+
+        labels = cc_ids_windows_local(bitmap.astype(jnp.uint8)[None])[0]
+    else:
+        labels = connected_components(bitmap, 8)  # raw = min linear index + 1
 
     # boundary pixels: any 4-neighbor differs (image border counts)
     big = jnp.int32(h * w + 1)
@@ -87,10 +106,15 @@ def db_decode_full_device(
     by = (sidx // w).astype(jnp.float32)
     valid_pt = skey < big
 
-    # dense component ids in sorted (row-major-min-index) order
-    first = valid_pt & jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
-    dense = jnp.cumsum(first.astype(jnp.int32))
-    dense = jnp.where(valid_pt & (dense < capacity), dense, 0)
+    if rank_ids:
+        # the kernel ids ARE the dense numbering (roots ascend in raster
+        # order, exactly like first-appearance order in the sorted table)
+        dense = jnp.where(valid_pt & (skey < capacity), skey, 0)
+    else:
+        # dense component ids in sorted (row-major-min-index) order
+        first = valid_pt & jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
+        dense = jnp.cumsum(first.astype(jnp.int32))
+        dense = jnp.where(valid_pt & (dense < capacity), dense, 0)
 
     # batched angle scan over the boundary table: extents per (comp, angle)
     angles = jnp.arange(angle_steps, dtype=jnp.float32) * (jnp.pi / 2 / angle_steps)
@@ -113,17 +137,49 @@ def db_decode_full_device(
     bw = e1 - e0
     bh = e3 - e2
 
-    # component area & probability sum: tiny LUT scatter + one full-map pass
-    lut = jnp.zeros(h * w + 2, jnp.int32).at[jnp.where(valid_pt, skey, 0)].max(dense)
-    lut = lut.at[0].set(0)
-    compact = lut[labels.reshape(-1)]
-    sums = (
-        jnp.zeros((capacity, 2), jnp.float32)
-        .at[compact]
-        .add(jnp.stack([jnp.ones_like(compact, jnp.float32), shrink_map.reshape(-1)], axis=-1))
-    )
-    area = sums[:, 0].at[0].set(0.0)
-    vsum = sums[:, 1]
+    # component area & probability sum over the full map
+    if rank_ids:
+        # scatter-free: the dense ids factor as id = hi*LO + lo, so the
+        # per-component reduction is one f32 MXU matmul between the two
+        # one-hot factors (the refine stack's _component_sums trick; f32
+        # operands keep the probability sums at scatter-add precision)
+        lo_r = 64
+        hi_n = (capacity + lo_r - 1) // lo_r
+        flat = jnp.where(labels < capacity, labels, 0).reshape(-1)
+        hi = flat // lo_r
+        lo = flat % lo_r
+        # contraction dim n minor-most on BOTH dot operands (no XLA minor-dim
+        # transpose of the big one-hot; see ops/refine.py::_component_sums)
+        oh_lo = (lo[:, None] == jnp.arange(lo_r, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+        qv = jnp.stack(
+            [jnp.ones((h * w,), jnp.float32), shrink_map.reshape(-1).astype(jnp.float32)]
+        )  # (2, N)
+        oh_hi = hi[None, :] == jnp.arange(hi_n, dtype=jnp.int32)[:, None]  # (HI, N)
+        lhs = (qv[:, None, :] * oh_hi[None].astype(jnp.float32)).reshape(2 * hi_n, h * w)
+        sums = jax.lax.dot_general(
+            lhs, oh_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (2*HI, LO)
+        sums = sums.reshape(2, hi_n * lo_r)[:, :capacity]
+        # ids beyond the truncated boundary table have no extents in the
+        # angle scan (their segment reductions stay at init) — zero their
+        # area so `valid` excludes them, exactly like the LUT path, whose
+        # lut rows only exist for table-present components.  Table ids are
+        # contiguous 1..max, so presence is a <= test.
+        in_table = jnp.arange(capacity) <= jnp.max(dense)
+        area = jnp.where(in_table, sums[0], 0.0).at[0].set(0.0)
+        vsum = sums[1]
+    else:
+        # tiny LUT scatter + one full-map pass
+        lut = jnp.zeros(h * w + 2, jnp.int32).at[jnp.where(valid_pt, skey, 0)].max(dense)
+        lut = lut.at[0].set(0)
+        compact = lut[labels.reshape(-1)]
+        sums = (
+            jnp.zeros((capacity, 2), jnp.float32)
+            .at[compact]
+            .add(jnp.stack([jnp.ones_like(compact, jnp.float32), shrink_map.reshape(-1)], axis=-1))
+        )
+        area = sums[:, 0].at[0].set(0.0)
+        vsum = sums[:, 1]
 
     per = 2.0 * (bw + bh)
     dist = jnp.where(per > 0, bw * bh * 1.5 / per, 0.0)

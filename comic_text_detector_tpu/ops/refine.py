@@ -57,11 +57,11 @@ _BIG = 2**30  # python int: module-level jnp arrays become committed captured co
 # under a raised Mosaic vmem_limit_bytes (pallas_kernels._WINDOW_VMEM_LIMIT).
 BUCKETS = (
     (256, 256, 8, 2048),
-    (256, 512, 4, 8192),  # wide-mid (real pages: most "wide" blocks are <512 wide)
-    (512, 256, 4, 8192),  # tall-mid (most vertical ja columns are <512 tall)
+    (256, 512, 6, 8192),  # wide-mid (real pages: most "wide" blocks are <512 wide)
+    (512, 256, 6, 8192),  # tall-mid (most vertical ja columns are <512 tall)
     (256, 640, 4, 8192),  # wide blocks (horizontal titles/rows)
     (640, 256, 4, 8192),  # tall blocks (vertical ja columns)
-    (512, 512, 2, 8192),  # big blocks; doubles as the resample fallback
+    (512, 512, 3, 8192),  # big blocks; doubles as the resample fallback
 )
 
 
@@ -486,17 +486,25 @@ def _component_sums(
         acc_t = jnp.int32 if dt == jnp.int8 else jnp.float32
         hi = flat // _LO
         lo = flat % _LO
-        oh_hi = hi[:, :, None] == jnp.arange(cap // _LO, dtype=jnp.int32)[None, None, :]
+        hi_n = cap // _LO
+        # LAYOUT: both dot operands keep the contraction dim n minor-most,
+        # so XLA lowers straight to a batched MXU matmul with fused one-hot
+        # producers — the earlier (Q, K, N, HI) einsum forced a minor-dim
+        # transpose of the 33 MB lhs before every dot (measured 2.94 ms per
+        # 8-slot dispatch; this form cut the signed merge sum to sub-ms).
+        oh_hi = hi[:, None, :] == jnp.arange(hi_n, dtype=jnp.int32)[None, :, None]
+        qv = jnp.swapaxes(quantities.reshape(q, k, n), 0, 1).astype(dt)  # (K, Q, N)
+        lhs = (qv[:, :, None, :] * oh_hi[:, None, :, :].astype(dt)).reshape(
+            k, q * hi_n, n
+        )
         oh_lo = lo[:, :, None] == jnp.arange(_LO, dtype=jnp.int32)[None, None, :]
-        qv = quantities.reshape(q, k, n).astype(dt)
-        lhs = jnp.where(oh_hi[None], qv[..., None], 0).astype(dt)  # (Q, K, N, HI)
-        out = jnp.einsum(
-            "qknh,knl->qkhl",
+        out = jax.lax.dot_general(
             lhs,
             oh_lo.astype(dt),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=acc_t,
-        )
-        return out.reshape(q, k, cap).astype(jnp.float32)
+        )  # (K, Q*HI, LO)
+        return out.reshape(k, q, cap).transpose(1, 0, 2).astype(jnp.float32)
     # off-TPU (tests): one batched scatter-add, which CPU handles well
     gid = (jnp.arange(k, dtype=jnp.int32)[:, None] * cap + flat).reshape(-1)
     vals = quantities.reshape(q, -1).T  # (k*N, q)
@@ -527,9 +535,11 @@ def _take_accept(
         hi = flat // _LO
         lo = flat % _LO
         table = acc.reshape(k, cap // _LO, _LO).astype(dt)  # (K, HI, LO)
+        # both contraction dims (l) minor-most -> clean NT-form MXU matmul
         oh_lo = (lo[:, :, None] == jnp.arange(_LO, dtype=jnp.int32)[None, None, :]).astype(dt)
-        picked = jnp.einsum(
-            "knl,khl->knh", oh_lo, table, preferred_element_type=jnp.float32
+        picked = jax.lax.dot_general(
+            oh_lo, table, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )  # (K, N, HI) — 0/1 values
         oh_hi = hi[:, :, None] == jnp.arange(cap // _LO, dtype=jnp.int32)[None, None, :]
         out = jnp.sum(jnp.where(oh_hi, picked, 0.0), axis=2) > 0.5

@@ -148,8 +148,19 @@ def resize_cv2exact_u8_np(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarra
 
 
 def resize_cv2exact_u8(img_u8: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """Device twin of :func:`resize_cv2exact_u8_np` (same integer math;
-    coefficients precomputed on host from the static shapes)."""
+    """Device twin of :func:`resize_cv2exact_u8_np`.
+
+    On TPU this routes to the MXU matmul formulation (bit-identical, ~10x
+    faster than per-element gathers); off-TPU the gather form wins and also
+    serves as the mm path's independent equality oracle in tests."""
+    if jax.default_backend() == "tpu":
+        return resize_cv2exact_u8_mm(img_u8, out_hw)
+    return resize_cv2exact_u8_gather(img_u8, out_hw)
+
+
+def resize_cv2exact_u8_gather(img_u8: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Gather formulation (same integer math; coefficients precomputed on
+    host from the static shapes)."""
     h, w = img_u8.shape[0], img_u8.shape[1]
     oh, ow = out_hw
     if (h, w) == (oh, ow):
@@ -176,6 +187,60 @@ def resize_cv2exact_u8(img_u8: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     out = jnp.where(bb0 == 2048, edge0, out)
     out = jnp.where(bb1 == 2048, edge1, out)
     return out.astype(jnp.uint8)
+
+
+def resize_cv2exact_u8_mm(img_u8: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """MXU formulation of :func:`resize_cv2exact_u8` — bit-identical output.
+
+    The gather twin pays XLA's per-element gather cost (~12 ms/M points on
+    v5e; the 1024² letterbox + original-resolution mask upsample measured
+    25.8 + 27.8 ms/page, profile_page r4).  Here both passes become f32
+    matmuls: the horizontal fixed-point pass contracts the (w, ow) sparse
+    coefficient matrix, and the vertical tap selection contracts a stacked
+    (2·oh, h) one-hot.  Exactness: every intermediate is an integer
+    ≤ 255·2048 = 522240 < 2²³, and each output sums at most two nonzero
+    products, so f32 accumulation is exact; the nonlinear 8U vertical tail
+    (``>>4``/``>>16`` truncations, edge-row cast) stays in int32 elementwise
+    exactly like the gather twin."""
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return img_u8
+    sx, a0, a1 = _cv2_linear_coefs(ow, w)
+    sy, b0, b1 = _cv2_linear_coefs(oh, h)
+    cols = np.arange(ow)
+    wx = np.zeros((w, ow), np.float32)
+    wx[sx, cols] += a0
+    wx[np.minimum(sx + 1, w - 1), cols] += a1
+    sel = np.zeros((2 * oh, h), np.float32)
+    sel[np.arange(oh), sy] = 1.0
+    sel[oh + np.arange(oh), np.minimum(sy + 1, h - 1)] = 1.0
+
+    squeeze = img_u8.ndim == 2
+    x = (img_u8[..., None] if squeeze else img_u8).astype(jnp.float32)  # (h, w, c)
+    c = x.shape[2]
+    row = jax.lax.dot_general(
+        x.transpose(0, 2, 1).reshape(h * c, w),
+        jnp.asarray(wx),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(h, c * ow)  # (h, c·ow), integer-valued
+    ss = jax.lax.dot_general(
+        jnp.asarray(sel), row, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (2·oh, c·ow)
+    s0 = ss[:oh].reshape(oh, c, ow)
+    s1 = ss[oh:].reshape(oh, c, ow)
+    bb0 = jnp.asarray(b0)[:, None, None]
+    bb1 = jnp.asarray(b1)[:, None, None]
+    t = ((bb0 * (s0 >> 4)) >> 16) + ((bb1 * (s1 >> 4)) >> 16)
+    out = jnp.clip((t + 2) >> 2, 0, 255)
+    edge0 = jnp.clip((s0 + 1023) >> 11, 0, 255)
+    edge1 = jnp.clip((s1 + 1023) >> 11, 0, 255)
+    out = jnp.where(bb0 == 2048, edge0, out)
+    out = jnp.where(bb1 == 2048, edge1, out)
+    out = out.astype(jnp.uint8).transpose(0, 2, 1)  # (oh, ow, c)
+    return out[..., 0] if squeeze else out
 
 
 def letterbox_shape(h: int, w: int, new_shape: int | Tuple[int, int]) -> Tuple[int, int, int, int, float]:

@@ -25,6 +25,7 @@ from comic_text_detector_tpu.config import YOLOV5S_CFG
 from comic_text_detector_tpu.models.convert import load_textdet_base_variables
 from comic_text_detector_tpu.models.detector import build_inference_model, init_variables
 from comic_text_detector_tpu.ops.db_decode import boxes_from_device_rects, db_decode_full_device
+from comic_text_detector_tpu.ops.bits import packbits_rows
 from comic_text_detector_tpu.ops.nms import nms_single
 from comic_text_detector_tpu.ops.resize import letterbox_shape, resize_bilinear_fast
 from comic_text_detector_tpu.postproc.textblock import TextBlock, group_output
@@ -243,7 +244,7 @@ class TextDetector:
                     # soft halo cv2's grey resize keeps (measured raw-mask
                     # IoU 0.913 vs the reference; this way it's bit-matched)
                     up = _upsample_mask(mask_full, size - dh, size - dw, (h, w))
-                    mask_out = jnp.packbits(up > 30, axis=-1)
+                    mask_out = packbits_rows(up > 30)
                 else:
                     mask_out = mask_full[: size - dh, : size - dw]
                 shrink = lines[0, :, :, 0].astype(jnp.float32)
@@ -409,7 +410,7 @@ def _rescue_undetected_device(
 
 @jax.jit
 def _pack_canvas(canvas: jax.Array) -> jax.Array:
-    return jnp.packbits(canvas > 0, axis=-1)
+    return packbits_rows(canvas > 0)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -428,4 +429,4 @@ def _upsample_mask_packed(mask_full: jax.Array, content_h: int, content_w: int, 
     consumer of the reference's resized mask).  Returns (grey upsampled
     mask for the refine stage, packed bits for transfer)."""
     up = _upsample_mask(mask_full, content_h, content_w, out_hw)
-    return up, jnp.packbits(up > 30, axis=-1)
+    return up, packbits_rows(up > 30)

@@ -189,3 +189,73 @@ def pixel_prf1(tp: float, gt_sum: float, pred_sum: float):
     precision = tp / pred_sum if pred_sum > 0 else 0.0
     f1 = 2 * recall * precision / (recall + precision) if recall + precision > 0 else 0.0
     return recall, precision, f1
+
+
+def _box_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(M,4) x (G,4) xyxy -> (M,G) IoU matrix."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float64)
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.prod(np.clip(br - tl, 0, None), axis=2)
+    area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0, None), axis=1)
+    area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), axis=1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def per_class_ap50(
+    preds: List[np.ndarray], gts: List[np.ndarray], nc: int = 2, iou_gate: float = 0.5
+) -> Dict:
+    """Per-class detection AP at IoU >= ``iou_gate`` (VOC continuous AP).
+
+    ``preds``: per image (M, 6) rows [x1, y1, x2, y2, conf, cls];
+    ``gts``:   per image (G, 5) rows [cls, x1, y1, x2, y2].
+    Classes follow constants.LANG_LIST order (eng=0, ja=1).  Greedy
+    confidence-descending matching, one GT per detection, like the
+    torchvision/yolov5 eval convention the reference's upstream uses.
+    Returns {'ap50': (nc,), 'map50': float, 'n_gt': (nc,)}.
+    """
+    ap = np.zeros(nc, np.float64)
+    n_gt_per = np.zeros(nc, np.int64)
+    for c in range(nc):
+        scored = []  # (conf, tp) over all images
+        n_gt = 0
+        for p, g in zip(preds, gts):
+            p = np.asarray(p, np.float64).reshape(-1, 6)
+            g = np.asarray(g, np.float64).reshape(-1, 5)
+            pc = p[p[:, 5] == c]
+            gc = g[g[:, 0] == c][:, 1:5]
+            n_gt += len(gc)
+            if len(pc) == 0:
+                continue
+            pc = pc[np.argsort(-pc[:, 4])]
+            iou = _box_iou_xyxy(pc[:, :4], gc)
+            taken = np.zeros(len(gc), bool)
+            for i in range(len(pc)):
+                j = int(np.argmax(iou[i])) if len(gc) else -1
+                ok = j >= 0 and iou[i, j] >= iou_gate and not taken[j]
+                if ok:
+                    taken[j] = True
+                scored.append((pc[i, 4], 1.0 if ok else 0.0))
+        n_gt_per[c] = n_gt
+        if n_gt == 0 or not scored:
+            ap[c] = 0.0
+            continue
+        arr = np.asarray(sorted(scored, key=lambda t: -t[0]), np.float64)
+        tp = np.cumsum(arr[:, 1])
+        fp = np.cumsum(1.0 - arr[:, 1])
+        recall = tp / n_gt
+        precision = tp / np.maximum(tp + fp, 1e-12)
+        # continuous AP: precision envelope integrated over recall
+        mrec = np.concatenate([[0.0], recall, [1.0]])
+        mpre = np.concatenate([[1.0], precision, [0.0]])
+        mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+        idx = np.where(mrec[1:] != mrec[:-1])[0]
+        ap[c] = float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+    valid = n_gt_per > 0
+    return {
+        "ap50": ap,
+        "map50": float(ap[valid].mean()) if valid.any() else 0.0,
+        "n_gt": n_gt_per,
+    }

@@ -34,6 +34,46 @@ from comic_text_detector_tpu.training.steps import (
 from comic_text_detector_tpu.utils.log import LOGGER
 
 
+def eval_detection_ap(
+    model, state, val_loader, nc: int = 2, conf: float = 0.1, nms_iou: float = 0.45
+) -> Dict:
+    """Per-class (eng/ja) AP50 over a val loader: decode + NMS + greedy
+    IoU-0.5 matching (training/metrics.py::per_class_ap50).  The loss-only
+    eval cannot see class confusion; this reports detection quality the way
+    the deployed pipeline consumes it (decode -> NMS -> boxes)."""
+    from comic_text_detector_tpu.ops.nms import nms_single
+    from comic_text_detector_tpu.training.metrics import per_class_ap50
+
+    @jax.jit
+    def dec(state, imgs):
+        params = {**state.frozen, **state.params}
+        dets, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            imgs.astype(jnp.float32) / (255.0 if imgs.dtype == jnp.uint8 else 1.0),
+            train=False,
+            decode=True,
+        )
+        rows, counts = jax.vmap(lambda d: nms_single(d, conf, nms_iou))(dets)
+        return rows, counts
+
+    preds, gts = [], []
+    for imgs, labels, mask in val_loader:
+        rows, counts = jax.device_get(dec(state, jnp.asarray(imgs)))
+        s = imgs.shape[1]  # square letterbox canvas
+        labels, mask = np.asarray(labels), np.asarray(mask)
+        for b in range(len(rows)):
+            preds.append(rows[b][: int(counts[b])])
+            lab = labels[b][mask[b] > 0]
+            g = np.zeros((len(lab), 5), np.float64)
+            g[:, 0] = lab[:, 0]
+            g[:, 1] = (lab[:, 1] - lab[:, 3] / 2) * s
+            g[:, 2] = (lab[:, 2] - lab[:, 4] / 2) * s
+            g[:, 3] = (lab[:, 1] + lab[:, 3] / 2) * s
+            g[:, 4] = (lab[:, 2] + lab[:, 4] / 2) * s
+            gts.append(g)
+    return per_class_ap50(preds, gts, nc=nc)
+
+
 def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None) -> Dict:
     """Train the block detector from a hyp dict (same shape as the seg/DB
     trainers).  Returns {'state', 'best_loss', 'steps'}."""
@@ -102,6 +142,7 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
     total_steps = 0
     best_loss = float("inf")
     m_loss = 0.0
+    last_ap = None
 
     for epoch in range(epochs):
         train_dataset.initialize()
@@ -139,11 +180,28 @@ def train(hyp: Dict, variables=None, max_steps: Optional[int] = None, mesh=None)
             ckpt_lib.save(osp.join(save_dir, "yolo_last.ctd"), state, meta)
             if save_best:
                 ckpt_lib.save(osp.join(save_dir, "yolo_best.ctd"), state, meta)
+            ap_str = ""
+            if hyp_train.get("eval_ap", True):
+                ap = eval_detection_ap(model, state, val_loader, nc=spec.nc)
+                last_ap = ap
+                names = ("eng", "ja")
+                per = " ".join(
+                    f"{names[c] if c < 2 else c}:{ap['ap50'][c]:.3f}(n={ap['n_gt'][c]})"
+                    for c in range(spec.nc)
+                )
+                ap_str = f" mAP50 {ap['map50']:.3f} [{per}]"
             LOGGER.info(
                 f"epoch {epoch}/{epochs-1} train loss: {m_loss:.4f} "
                 f"val: loss {e['loss']:.4f} box {e['lbox']:.4f} obj {e['lobj']:.4f} cls {e['lcls']:.4f}"
+                + ap_str
             )
         if max_steps is not None and total_steps >= max_steps:
             break
 
-    return {"state": state, "best_loss": best_loss, "last_loss": m_loss, "steps": total_steps}
+    return {
+        "state": state,
+        "best_loss": best_loss,
+        "last_loss": m_loss,
+        "steps": total_steps,
+        "ap": last_ap,
+    }

@@ -104,3 +104,25 @@ def test_empty_map():
     rep = SegDetectorRepresenter(thresh=0.3)
     (boxes,), (scores,) = rep(None, jnp.asarray(prob)[None, :, :, None])
     assert len(boxes) == 0 and len(scores) == 0
+
+
+@pytest.mark.parametrize("shape,mb", [((64, 128), 8192), ((128, 128), 8192), ((64, 128), 64)])
+def test_db_decode_rank_ids_matches_label_path(rng, shape, mb):
+    """The TPU routing of db_decode_full_device (fused CC+rank kernel ids +
+    scatter-free MXU stats) must match the label+LUT formulation exactly —
+    including boundary-table truncation (small max_boundary) and component
+    counts past capacity."""
+    from comic_text_detector_tpu.ops.db_decode import db_decode_full_device
+
+    # blobby multi-component probability map
+    h, w = shape
+    base = rng.random((h // 8, w // 8)).astype(np.float32)
+    m = np.kron(base, np.ones((8, 8), np.float32))
+    for args in [(m, 0.55), (m, 0.75)]:
+        shrink, th = args
+        a = db_decode_full_device(jnp.asarray(shrink), th, 64, 30, mb, False)
+        b = db_decode_full_device(jnp.asarray(shrink), th, 64, 30, mb, True)
+        av, bv = np.asarray(a[2]), np.asarray(b[2])
+        np.testing.assert_array_equal(bv, av)
+        np.testing.assert_allclose(np.asarray(b[1])[av], np.asarray(a[1])[av], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b[0])[av], np.asarray(a[0])[av], rtol=1e-4, atol=1e-3)

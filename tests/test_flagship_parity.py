@@ -243,3 +243,32 @@ def test_rotated_vertical_page_golden(flagship_pair, tmp_path):
         assert bool(g.vertical) == bool(r.vertical)
         assert len(g.lines) == len(r.lines)
         assert np.abs(np.array(g.xyxy) - np.array(r.xyxy)).max() <= 3
+
+
+@needs_ckpt
+@pytest.mark.slow
+def test_ja_majority_page_reading_order_golden(flagship_pair):
+    """ja-majority vertical page: same-weights parity of the manga
+    reading-order sort incl. the right-to-left flip the reference applies
+    when predicted-ja blocks dominate (reference utils/textblock.py:267-300,
+    rtl grid weights :295).  The r4 renderer draws kana-like glyph columns
+    (data/render.py::draw_kana_block) so the page's texture is non-latin."""
+    from comic_text_detector_tpu.data.render import ComicTextRenderer
+
+    bg = np.full((900, 640, 3), 240, np.uint8)
+    bg[:, ::64] = 215
+    renderer = ComicTextRenderer(seed=11, bubble_prob=0.4, blocks_per_page=(5, 8))
+    renderer.blocks.ja_prob = 1.0  # all-kana page, mostly vertical columns
+    img = renderer.render_page(bg)["img"]
+
+    ref_det, my_det, _ = flagship_pair
+    _, _, ref_blks = ref_det(img.copy())
+    _, _, my_blks = my_det(img.copy())
+
+    assert len(my_blks) >= 2, "page must actually detect multiple blocks"
+    assert len(my_blks) == len(ref_blks)
+    # block ORDER is the contract here: the sort (incl. any rtl flip) must
+    # emit the same sequence of boxes the executed reference emits
+    for g, r in zip(my_blks, ref_blks):
+        assert np.abs(np.array(g.xyxy) - np.array(r.xyxy)).max() <= 3
+        assert bool(g.vertical) == bool(r.vertical)

@@ -63,3 +63,43 @@ def test_pixel_prf1_and_meter():
     assert r == 0.5 and p == 1.0 and abs(f1 - 2 / 3) < 1e-9
     m = AverageMeter().update(1.0, 2).update(0.0, 2)
     assert m.avg == 0.5
+
+
+def test_per_class_ap50_known_values():
+    """Hand-computed AP check: class 0 has one TP@0.9 and one FP@0.8 over
+    two GT boxes (continuous AP = 0.5); class 1 is a single perfect match
+    (AP = 1.0); mAP = 0.75."""
+    from comic_text_detector_tpu.training.metrics import per_class_ap50
+
+    gts = [np.array([
+        [0, 0, 0, 10, 10],
+        [0, 20, 20, 30, 30],
+        [1, 50, 50, 60, 60],
+    ], np.float64)]
+    preds = [np.array([
+        [0.5, 0.5, 9.5, 9.5, 0.9, 0],     # TP (IoU ~0.82)
+        [40, 0, 45, 5, 0.8, 0],           # FP
+        [50, 50, 60, 60, 0.7, 1],         # exact TP
+    ], np.float64)]
+    out = per_class_ap50(preds, gts, nc=2)
+    assert abs(out["ap50"][0] - 0.5) < 1e-9
+    assert abs(out["ap50"][1] - 1.0) < 1e-9
+    assert abs(out["map50"] - 0.75) < 1e-9
+    assert list(out["n_gt"]) == [2, 1]
+
+
+def test_per_class_ap50_duplicate_and_lowconf():
+    """A duplicate detection on an already-matched GT counts as FP; classes
+    with no GT are excluded from the mean."""
+    from comic_text_detector_tpu.training.metrics import per_class_ap50
+
+    gts = [np.array([[0, 0, 0, 10, 10]], np.float64)]
+    preds = [np.array([
+        [0, 0, 10, 10, 0.9, 0],
+        [0.1, 0.1, 10, 10, 0.8, 0],  # duplicate -> FP
+        [0, 0, 10, 10, 0.95, 1],     # class with no GT
+    ], np.float64)]
+    out = per_class_ap50(preds, gts, nc=2)
+    assert abs(out["ap50"][0] - 1.0) < 1e-9  # envelope: full recall at p=1
+    assert out["n_gt"][1] == 0
+    assert abs(out["map50"] - 1.0) < 1e-9

@@ -2,6 +2,7 @@
 contract round-trip into the training loaders."""
 
 import os.path as osp
+import random
 
 import numpy as np
 import pytest
@@ -112,3 +113,46 @@ def test_db_prepared_disk_cache_roundtrip(tmp_path, rng):
     assert 0 in b._prep_cache  # loaded from disk into the memory tier
     for k in ("imgs", "shrink_map", "shrink_mask", "threshold_map", "threshold_mask"):
         np.testing.assert_array_equal(item_a[k], item_b[k])
+
+
+def test_draw_kana_block_shapes_and_polys():
+    """Kana-like blocks honor the draw_text_block contract: cropped RGBA +
+    mask + per-line polys, vertical and horizontal, with rotation."""
+    from comic_text_detector_tpu.data.render import draw_kana_block
+
+    img, mask, polys = draw_kana_block([3, 5, 2], 24, random.Random(0), orientation=1)
+    assert img is not None and img.size == mask.size
+    assert polys.shape == (3, 8)
+    m = np.asarray(mask)
+    assert m.max() == 255 and (m > 0).mean() > 0.02  # dense stroke texture
+    # polys stay inside the cropped block
+    assert polys[:, ::2].max() < img.width and polys[:, 1::2].max() < img.height
+
+    img_r, _, polys_r = draw_kana_block(
+        [4, 2], 20, random.Random(1), orientation=0, rotation=15, stroke_width=1
+    )
+    assert img_r is not None and len(polys_r) == 2
+
+
+def test_renderer_language_classes(tmp_path):
+    """render_comictext writes real per-block class ids (eng=0 latin fonts,
+    ja=1 kana-like glyphs) instead of the pre-r4 hardcoded 'ja'; ja blocks
+    are mostly vertical, eng mostly horizontal."""
+    from comic_text_detector_tpu.data.render import ComicTextRenderer
+
+    rend = ComicTextRenderer(seed=5, bubble_prob=0.3)
+    rend.blocks.ja_prob = 0.5
+    classes = []
+    for i in range(8):
+        bg = np.full((600, 450, 3), 235, np.uint8)
+        out = rend.render_page(bg)
+        assert len(out["blk_classes"]) == len(out["blk_xyxy"])
+        classes += list(out["blk_classes"])
+    assert 0 in classes and 1 in classes  # both languages appear
+
+    bg_dir, out_dir = tmp_path / "bg", tmp_path / "out"
+    bg_dir.mkdir()
+    imwrite(str(bg_dir / "p0.png"), np.full((600, 450, 3), 235, np.uint8))
+    render_comictext(str(bg_dir), str(out_dir), renderer=rend)
+    rows = open(out_dir / "p0.txt").read().splitlines()
+    assert rows and all(r.split()[0] in ("0", "1") for r in rows)

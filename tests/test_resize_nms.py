@@ -175,3 +175,40 @@ def test_nms_options_match_reference(seed, opts):
     np.testing.assert_array_equal(
         rows[:count][got_order, 5].astype(int), ref[order, 5].astype(int)
     )
+
+
+@pytest.mark.parametrize(
+    "shp,out",
+    [
+        ((1654, 1170, 3), (1024, 724)),
+        ((1024, 724), (1654, 1170)),
+        ((37, 53, 3), (96, 128)),
+        ((96, 128), (37, 53)),
+        ((1, 7, 3), (5, 9)),
+        ((11, 1), (23, 3)),
+    ],
+)
+def test_resize_mm_bitexact_vs_gather_and_oracle(rng, shp, out):
+    """The MXU-matmul formulation of the cv2-exact uint8 resize (the TPU
+    routing of resize_cv2exact_u8) must be byte-identical to the gather
+    twin AND the NumPy oracle — up/downscale, grey/color, degenerate axes."""
+    img = rng.integers(0, 256, shp, dtype=np.uint8)
+    a = np.asarray(trs.resize_cv2exact_u8_gather(jnp.asarray(img), out))
+    b = np.asarray(trs.resize_cv2exact_u8_mm(jnp.asarray(img), out))
+    c = trs.resize_cv2exact_u8_np(img, out)
+    np.testing.assert_array_equal(b, a)
+    np.testing.assert_array_equal(b, c)
+
+
+@pytest.mark.parametrize("w", [8, 24, 1170, 1171, 1, 7])
+def test_packbits_rows_matches_numpy(rng, w):
+    """Strided-slice packbits (1-bpp mask transfers) is byte-identical to
+    np.packbits(axis=-1), including non-multiple-of-8 row tails."""
+    from comic_text_detector_tpu.ops.bits import packbits_rows
+
+    x = rng.integers(0, 2, (13, w), dtype=np.uint8).astype(bool)
+    got = np.asarray(packbits_rows(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.packbits(x, axis=-1))
+    # uint8 0/255 inputs (the canvas form) pack the same way
+    got255 = np.asarray(packbits_rows(jnp.asarray(x.astype(np.uint8) * 255)))
+    np.testing.assert_array_equal(got255, np.packbits(x, axis=-1))

@@ -195,3 +195,8 @@ def test_yolo_trainer_smoke(tmp_path):
     assert out["steps"] >= 1
     assert np.isfinite(out["last_loss"])
     assert osp.exists(osp.join(str(tmp_path), "yolo_last.ctd"))
+    # the eval block reports per-class (eng/ja) AP50 (random weights -> the
+    # values are ~0; the plumbing and GT class bookkeeping must still work)
+    assert out["ap"] is not None
+    assert out["ap"]["ap50"].shape == (2,)
+    assert out["ap"]["n_gt"].sum() >= 1
