@@ -15,5 +15,7 @@ run profile_refine python scripts/profile_refine.py
 run profile_page python scripts/profile_page.py
 run bench_homog python bench.py
 CTD_BENCH_MIXED=1 run bench_mixed python bench.py
+# the shipping r4 checkpoint (epoch-9 DB head): realistic component counts
+CTD_BENCH_CKPT=data/flagship_r4.npz run bench_ckpt4 python bench.py
 run bench_sweep python scripts/bench_sweep.py
 echo "=== done $(date +%H:%M:%S) ==="
