@@ -204,6 +204,41 @@ def _fit_band(n: int, n_other: int, cap_elems: int = 1 << 18, floor: int = 8) ->
     return _band(n, max(target, floor))
 
 
+def _cc_round(l: jax.Array, m: jax.Array) -> jax.Array:
+    """One propagation round: segmented min-sweeps along rows and columns
+    plus the diagonal hop (8-connectivity), background forced to _CC_BIG."""
+    l = _segmented_min_sweep(l, m, axis=1, reverse=False)
+    l = _segmented_min_sweep(l, m, axis=1, reverse=True)
+    l = _segmented_min_sweep(l, m, axis=0, reverse=False)
+    l = _segmented_min_sweep(l, m, axis=0, reverse=True)
+    diag = jnp.minimum(
+        jnp.minimum(
+            _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), 1, 1, _CC_BIG),
+            _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), -1, 1, _CC_BIG),
+        ),
+        jnp.minimum(
+            _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), 1, 1, _CC_BIG),
+            _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), -1, 1, _CC_BIG),
+        ),
+    )
+    return jnp.where(m > 0, jnp.minimum(l, diag), _CC_BIG)
+
+
+def _cc_fixpoint(l0: jax.Array, m: jax.Array) -> jax.Array:
+    """Iterate _cc_round to convergence inside the kernel (in VMEM)."""
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        l, _ = state
+        nl = _cc_round(l, m)
+        return nl, jnp.any(nl != l)
+
+    l, _ = jax.lax.while_loop(cond, body, (l0, jnp.bool_(True)))
+    return l
+
+
 def _cc_window_kernel(m_ref, o_ref):
     """Complete 8-connected CC labeling of ONE window, in VMEM.
 
@@ -221,35 +256,22 @@ def _cc_window_kernel(m_ref, o_ref):
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     )
-    l0 = jnp.where(m > 0, lin, _CC_BIG)
+    o_ref[0] = _cc_fixpoint(jnp.where(m > 0, lin, _CC_BIG), m)
 
-    def one_round(l):
-        l = _segmented_min_sweep(l, m, axis=1, reverse=False)
-        l = _segmented_min_sweep(l, m, axis=1, reverse=True)
-        l = _segmented_min_sweep(l, m, axis=0, reverse=False)
-        l = _segmented_min_sweep(l, m, axis=0, reverse=True)
-        diag = jnp.minimum(
-            jnp.minimum(
-                _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), 1, 1, _CC_BIG),
-                _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), -1, 1, _CC_BIG),
-            ),
-            jnp.minimum(
-                _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), 1, 1, _CC_BIG),
-                _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), -1, 1, _CC_BIG),
-            ),
-        )
-        return jnp.where(m > 0, jnp.minimum(l, diag), _CC_BIG)
 
-    def cond(state):
-        return state[1]
+def _min_prop_kernel(m_ref, a_ref, o_ref):
+    """Min-propagate a seeded value map across each mask component, in VMEM.
 
-    def body(state):
-        l, _ = state
-        nl = one_round(l)
-        return nl, jnp.any(nl != l)
-
-    l, _ = jax.lax.while_loop(cond, body, (l0, jnp.bool_(True)))
-    o_ref[0] = l
+    Seeds carry _CC_BIG everywhere except the values to spread (e.g. a root's
+    raster rank); the fixpoint leaves every foreground pixel holding its
+    component's minimum seed.  Output: that minimum (0 on background).  Used
+    as the second half of the SPLIT rank-ids path for whole-canvas shapes
+    whose fused-kernel footprint exceeds physical VMEM (see
+    cc_ids_windows_local).
+    """
+    m = (m_ref[0] != 0).astype(jnp.int32)
+    aux = _cc_fixpoint(a_ref[0], m)
+    o_ref[0] = jnp.where(m > 0, aux, 0)
 
 
 def _cc_ids_kernel(m_ref, o_ref):
@@ -269,34 +291,7 @@ def _cc_ids_kernel(m_ref, o_ref):
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     )
-    l0 = jnp.where(m > 0, lin, _CC_BIG)
-
-    def one_round(l):
-        l = _segmented_min_sweep(l, m, axis=1, reverse=False)
-        l = _segmented_min_sweep(l, m, axis=1, reverse=True)
-        l = _segmented_min_sweep(l, m, axis=0, reverse=False)
-        l = _segmented_min_sweep(l, m, axis=0, reverse=True)
-        diag = jnp.minimum(
-            jnp.minimum(
-                _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), 1, 1, _CC_BIG),
-                _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), -1, 1, _CC_BIG),
-            ),
-            jnp.minimum(
-                _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), 1, 1, _CC_BIG),
-                _shift_with_fill(_shift_with_fill(l, -1, 0, _CC_BIG), -1, 1, _CC_BIG),
-            ),
-        )
-        return jnp.where(m > 0, jnp.minimum(l, diag), _CC_BIG)
-
-    def cond(state):
-        return state[1]
-
-    def body(state):
-        l, _ = state
-        nl = one_round(l)
-        return nl, jnp.any(nl != l)
-
-    l, _ = jax.lax.while_loop(cond, body, (l0, jnp.bool_(True)))
+    l = _cc_fixpoint(jnp.where(m > 0, lin, _CC_BIG), m)
 
     # raster-order 1-based root ranks: within-row inclusive prefix count of
     # roots + exclusive prefix of the per-row totals (Hillis-Steele shifts)
@@ -319,15 +314,43 @@ def _cc_ids_kernel(m_ref, o_ref):
     # min-propagate each root's rank across its (already converged)
     # component: ranks are monotone in the root linear index, so the
     # component min IS the root's rank
-    aux0 = jnp.where(is_root > 0, rank, _CC_BIG)
-
-    def body2(state):
-        a, _ = state
-        na = one_round(a)
-        return na, jnp.any(na != a)
-
-    aux, _ = jax.lax.while_loop(cond, body2, (aux0, jnp.bool_(True)))
+    aux = _cc_fixpoint(jnp.where(is_root > 0, rank, _CC_BIG), m)
     o_ref[0] = jnp.where(m > 0, aux, 0)
+
+
+# Above this element count the FUSED labels+ranks kernel's scoped-VMEM
+# stack exceeds what v5e can grant: Mosaic measured 21.02 MB at 512x512 /
+# 16.61 MB at 640x256 (fine), but 92.34-112 MB at 1024x1024 — over the
+# 128 MB physical VMEM once the pipelined in/out blocks are added, and the
+# request GROWS with vmem_limit_bytes (the scheduler spends the headroom;
+# raising the limit 64->104 MB moved the request 92.34->112 MB,
+# data/check_rank_decode_r4c.log).  Whole-canvas shapes therefore take a
+# SPLIT path: the hardware-validated labels kernel, root ranks via one XLA
+# cumsum (elementwise — no gather), and a second small min-propagate kernel.
+# Cost: one extra HBM round-trip of the canvas (~8 MB, tens of µs).
+_FUSED_IDS_MAX_ELEMS = 512 * 512
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def min_prop_windows_local(
+    masks_u8: jax.Array, aux_i32: jax.Array, interpret: bool | None = None
+) -> jax.Array:
+    """Per-window component-min propagation of seeded values: (N, sh, sw)
+    uint8 masks + (N, sh, sw) int32 seeds (_CC_BIG where no seed) -> the
+    component-min seed per foreground pixel, 0 on background."""
+    n, s1, s2 = masks_u8.shape
+    return pl.pallas_call(
+        _min_prop_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, s1, s2), jnp.int32),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_WINDOW_VMEM_LIMIT),
+        interpret=_interpret() if interpret is None else interpret,
+    )(masks_u8, aux_i32)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -335,19 +358,34 @@ def cc_ids_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> 
     """Per-window CC + compact ids for (N, sh, sw) uint8 masks -> (N, sh, sw)
     int32 1-based component ids (0 = background), one grid step per window.
 
-    The fused labels+ranks kernel keeps ~25 window-sized i32 temporaries
-    live (Mosaic measured 21.02 MB scoped VMEM at 512x512, 16.61 MB at
-    640x256 on v5e), so it compiles with a raised ``vmem_limit_bytes``
-    (_WINDOW_VMEM_LIMIT) — far under the 128 MB physical VMEM.  The loud
-    cap below (~40 MB footprint) keeps novel shapes from hitting the
-    raised ceiling silently."""
+    Window-bucket shapes (<= _FUSED_IDS_MAX_ELEMS) run the fused
+    labels+ranks kernel (hardware-validated: 21.02 MB scoped VMEM at
+    512x512, 16.61 MB at 640x256 on v5e).  Larger canvases (the 1024²
+    whole-page DB decode) split into labels kernel -> XLA raster cumsum of
+    roots -> min-propagate kernel, because the fused kernel's scoped stack
+    blows physical VMEM there (see _FUSED_IDS_MAX_ELEMS).  Both paths emit
+    identical ids; hardware gate: scripts/check_rank_decode.py
+    (interpret-mode tests cannot see Mosaic's scoped-VMEM accounting)."""
     n, s1, s2 = masks_u8.shape
     if s1 * s2 > 1024 * 1024:
         raise ValueError(
             f"cc_ids_windows_local: window {s1}x{s2} exceeds the in-VMEM "
-            "fixpoint budget (max 1024*1024 elements ~= 40 MB scoped VMEM "
-            "at the measured ~25-copy footprint)"
+            "fixpoint budget (max 1024*1024 elements, the validated "
+            "whole-canvas labels-kernel shape)"
         )
+    if s1 * s2 > _FUSED_IDS_MAX_ELEMS:
+        labels = cc_windows_local(masks_u8, interpret)  # root lin idx / _CC_BIG
+        lin = (
+            jax.lax.broadcasted_iota(jnp.int32, (s1, s2), 0) * s2
+            + jax.lax.broadcasted_iota(jnp.int32, (s1, s2), 1)
+        )[None]
+        is_root = (labels == lin) & (masks_u8 != 0)
+        rank = (
+            jnp.cumsum(is_root.reshape(n, s1 * s2).astype(jnp.int32), axis=1)
+            .reshape(n, s1, s2)
+        )
+        aux0 = jnp.where(is_root, rank, _CC_BIG)
+        return min_prop_windows_local(masks_u8, aux0, interpret)
     return pl.pallas_call(
         _cc_ids_kernel,
         out_shape=jax.ShapeDtypeStruct((n, s1, s2), jnp.int32),

@@ -72,7 +72,13 @@ def main() -> int:
     if not np.array_equal(va, vb):
         print(f"VALID MISMATCH: {int(va.sum())} vs {int(vb.sum())}")
         return 1
-    if not np.allclose(sa[va], sb[vb], rtol=1e-5, atol=1e-5):
+    # scores are per-component mean probabilities; the rank path sums them
+    # on the MXU (one-hot matmul, f32-via-bf16 3-pass) while the label path
+    # scatter-adds sequentially — different reassociation, so ~1e-4 jitter
+    # at 1M-pixel components is expected (measured 2.29e-04 max on the r2
+    # fg=0.42 map, data/check_rank_decode_r4d.log), far under the 0.05+
+    # margins scores are compared against downstream (box_thresh).
+    if not np.allclose(sa[va], sb[vb], rtol=1e-3, atol=1e-3):
         print(f"SCORE MISMATCH: max |d| {np.abs(sa[va] - sb[vb]).max():.2e}")
         return 1
     if not np.allclose(ba[va], bb[vb], rtol=1e-4, atol=1e-3):

@@ -86,6 +86,30 @@ def test_cc_ids_windows_local_interpret_production_scale():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_cc_ids_split_path_matches_oracle():
+    """Whole-canvas shapes (> _FUSED_IDS_MAX_ELEMS) route through the SPLIT
+    labels-kernel + XLA cumsum + min-propagate-kernel path; its ids must be
+    identical to the grid-CC + compaction oracle (and hence to the fused
+    kernel's numbering on small shapes)."""
+    from comic_text_detector_tpu.ops import refine as R
+    from comic_text_detector_tpu.ops.pallas_kernels import (
+        _FUSED_IDS_MAX_ELEMS,
+        cc_ids_windows_local,
+    )
+
+    h, w = 512, 640
+    assert h * w > _FUSED_IDS_MAX_ELEMS  # must exercise the split routing
+    rng = np.random.default_rng(11)
+    masks = np.zeros((2, h, w), np.uint8)
+    masks[0] = rng.random((h, w)) < 0.35
+    masks[1, 40:480, 60:600] = 1
+    masks[1][rng.random((h, w)) < 0.08] = 0
+    fg = jnp.asarray(masks > 0)
+    got = np.asarray(cc_ids_windows_local(jnp.asarray(masks), True))
+    ref = np.asarray(R._compact_ids(R._stacked_cc(fg, backend="grid"), fg))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_take_accept_matmul_matches_gather():
     from comic_text_detector_tpu.ops import refine as R
 
