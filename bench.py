@@ -87,6 +87,18 @@ def main() -> None:
         variables = det.variables
     img = imread("/root/reference/data/examples/AisazuNihaIrarenai-003.jpg")
 
+    # --- tunnel bandwidth probe ---
+    # Host->device transfer over the axon tunnel is the stream's dominant
+    # byte path (1.9 MB/page grey u8) and its bandwidth swings 20 KB/s-
+    # 20 MB/s between sessions (CLAUDE.md); stamping the measured rate into
+    # the metric makes cross-round comparisons interpretable.
+    probe = np.zeros((4 << 20,), np.uint8)
+    jax.block_until_ready(jax.device_put(probe))  # warm the path
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(jax.device_put(probe))
+    tunnel_mbps = 3 * probe.nbytes / (time.perf_counter() - t0) / 1e6
+
     # --- single-page latency (p50) ---
     for _ in range(2):
         det(img)  # compile + warm
@@ -141,7 +153,8 @@ def main() -> None:
                     f"volume-stream pages/sec/chip @1024px (full pipeline, B={bsz}, "
                     f"{'bf16' if half else 'f32'}{', mixed pages' if mixed else ''}, "
                     f"{jax.devices()[0].device_kind}; "
-                    f"single-page p50 {p50_ms:.0f} ms)"
+                    f"single-page p50 {p50_ms:.0f} ms; "
+                    f"tunnel {tunnel_mbps:.1f} MB/s)"
                 ),
                 "value": round(pages_per_sec, 4),
                 "unit": "pages/sec",
