@@ -204,13 +204,51 @@ def _fit_band(n: int, n_other: int, cap_elems: int = 1 << 18, floor: int = 8) ->
     return _band(n, max(target, floor))
 
 
-def _cc_round(l: jax.Array, m: jax.Array) -> jax.Array:
+def _shift2(x: jax.Array, sy: int, sx: int, fill) -> jax.Array:
+    """Composed 2-D non-circular shift (static slices only)."""
+    if sy:
+        x = _shift_with_fill(x, sy, 0, fill)
+    if sx:
+        x = _shift_with_fill(x, sx, 1, fill)
+    return x
+
+
+def _segmented_min_sweep_diag(
+    v: jax.Array, m: jax.Array, dx_sign: int, reverse: bool
+) -> jax.Array:
+    """Segmented min-scan along a DIAGONAL direction (dy=1, dx=dx_sign),
+    via composed 2-D shifts — no shear/reshape.  Collapses thin diagonal
+    runs (anti-aliased glyph strokes) in log steps instead of one pixel per
+    round through the single diagonal hop."""
+    n = min(v.shape)
+    sgn = -1 if reverse else 1
+    g = m * _shift2(m, sgn, sgn * dx_sign, 0)
+    s = 1
+    while s < n:
+        vp = _shift2(v, sgn * s, sgn * s * dx_sign, _CC_BIG)
+        gp = _shift2(g, sgn * s, sgn * s * dx_sign, 0)
+        v = jnp.where(g > 0, jnp.minimum(v, vp), v)
+        g = g * gp
+        s *= 2
+    return v
+
+
+def _cc_round(l: jax.Array, m: jax.Array, diag_sweep: bool = False) -> jax.Array:
     """One propagation round: segmented min-sweeps along rows and columns
-    plus the diagonal hop (8-connectivity), background forced to _CC_BIG."""
+    plus diagonal coupling (8-connectivity), background forced to _CC_BIG.
+
+    ``diag_sweep`` replaces the single-step diagonal hop with full doubling
+    sweeps along both diagonals (~2x work per round, but diagonal strokes
+    converge in one round instead of one pixel per round)."""
     l = _segmented_min_sweep(l, m, axis=1, reverse=False)
     l = _segmented_min_sweep(l, m, axis=1, reverse=True)
     l = _segmented_min_sweep(l, m, axis=0, reverse=False)
     l = _segmented_min_sweep(l, m, axis=0, reverse=True)
+    if diag_sweep:
+        for dx_sign in (1, -1):
+            l = _segmented_min_sweep_diag(l, m, dx_sign, reverse=False)
+            l = _segmented_min_sweep_diag(l, m, dx_sign, reverse=True)
+        return jnp.where(m > 0, l, _CC_BIG)
     diag = jnp.minimum(
         jnp.minimum(
             _shift_with_fill(_shift_with_fill(l, 1, 0, _CC_BIG), 1, 1, _CC_BIG),
@@ -224,22 +262,35 @@ def _cc_round(l: jax.Array, m: jax.Array) -> jax.Array:
     return jnp.where(m > 0, jnp.minimum(l, diag), _CC_BIG)
 
 
-def _cc_fixpoint(l0: jax.Array, m: jax.Array) -> jax.Array:
+def _parse_variant(variant: str) -> tuple[int, bool]:
+    """'base' | 'chunk2' | 'diag' | 'diagchunk2' -> (rounds per convergence
+    check, diagonal-sweep rounds).  All variants reach the identical
+    fixpoint (min-propagation is monotone and idempotent at convergence);
+    they trade per-round work against round count and check overhead."""
+    diag = variant.startswith("diag")
+    chunk = 2 if variant.endswith("chunk2") else 1
+    return chunk, diag
+
+
+def _cc_fixpoint(l0: jax.Array, m: jax.Array, variant: str = "base") -> jax.Array:
     """Iterate _cc_round to convergence inside the kernel (in VMEM)."""
+    chunk, diag = _parse_variant(variant)
 
     def cond(state):
         return state[1]
 
     def body(state):
         l, _ = state
-        nl = _cc_round(l, m)
+        nl = l
+        for _ in range(chunk):
+            nl = _cc_round(nl, m, diag_sweep=diag)
         return nl, jnp.any(nl != l)
 
     l, _ = jax.lax.while_loop(cond, body, (l0, jnp.bool_(True)))
     return l
 
 
-def _cc_window_kernel(m_ref, o_ref):
+def _cc_window_kernel(variant, m_ref, o_ref):
     """Complete 8-connected CC labeling of ONE window, in VMEM.
 
     Iterates (row sweeps, col sweeps, diagonal hop) to the fixpoint inside
@@ -256,10 +307,10 @@ def _cc_window_kernel(m_ref, o_ref):
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     )
-    o_ref[0] = _cc_fixpoint(jnp.where(m > 0, lin, _CC_BIG), m)
+    o_ref[0] = _cc_fixpoint(jnp.where(m > 0, lin, _CC_BIG), m, variant)
 
 
-def _min_prop_kernel(m_ref, a_ref, o_ref):
+def _min_prop_kernel(variant, m_ref, a_ref, o_ref):
     """Min-propagate a seeded value map across each mask component, in VMEM.
 
     Seeds carry _CC_BIG everywhere except the values to spread (e.g. a root's
@@ -270,11 +321,11 @@ def _min_prop_kernel(m_ref, a_ref, o_ref):
     cc_ids_windows_local).
     """
     m = (m_ref[0] != 0).astype(jnp.int32)
-    aux = _cc_fixpoint(a_ref[0], m)
+    aux = _cc_fixpoint(a_ref[0], m, variant)
     o_ref[0] = jnp.where(m > 0, aux, 0)
 
 
-def _cc_ids_kernel(m_ref, o_ref):
+def _cc_ids_kernel(variant, m_ref, o_ref):
     """CC labeling + in-VMEM rank compaction of ONE window.
 
     Output: 1-based component ids in raster order of component roots
@@ -291,7 +342,7 @@ def _cc_ids_kernel(m_ref, o_ref):
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     )
-    l = _cc_fixpoint(jnp.where(m > 0, lin, _CC_BIG), m)
+    l = _cc_fixpoint(jnp.where(m > 0, lin, _CC_BIG), m, variant)
 
     # raster-order 1-based root ranks: within-row inclusive prefix count of
     # roots + exclusive prefix of the per-row totals (Hillis-Steele shifts)
@@ -314,7 +365,7 @@ def _cc_ids_kernel(m_ref, o_ref):
     # min-propagate each root's rank across its (already converged)
     # component: ranks are monotone in the root linear index, so the
     # component min IS the root's rank
-    aux = _cc_fixpoint(jnp.where(is_root > 0, rank, _CC_BIG), m)
+    aux = _cc_fixpoint(jnp.where(is_root > 0, rank, _CC_BIG), m, variant)
     o_ref[0] = jnp.where(m > 0, aux, 0)
 
 
@@ -330,17 +381,27 @@ def _cc_ids_kernel(m_ref, o_ref):
 # Cost: one extra HBM round-trip of the canvas (~8 MB, tens of µs).
 _FUSED_IDS_MAX_ELEMS = 512 * 512
 
+# Default CC fixpoint variant for production paths.  Candidates ('chunk2',
+# 'diag', 'diagchunk2' — see _parse_variant) are exactness-preserving but
+# must be hardware-A/B'd (scripts/cc_variant_ab.py) before this flips:
+# Mosaic compile behavior and real round counts are invisible to
+# interpret-mode tests.
+_DEFAULT_VARIANT = "base"
 
-@functools.partial(jax.jit, static_argnums=(2,))
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def min_prop_windows_local(
-    masks_u8: jax.Array, aux_i32: jax.Array, interpret: bool | None = None
+    masks_u8: jax.Array,
+    aux_i32: jax.Array,
+    interpret: bool | None = None,
+    variant: str = "base",
 ) -> jax.Array:
     """Per-window component-min propagation of seeded values: (N, sh, sw)
     uint8 masks + (N, sh, sw) int32 seeds (_CC_BIG where no seed) -> the
     component-min seed per foreground pixel, 0 on background."""
     n, s1, s2 = masks_u8.shape
     return pl.pallas_call(
-        _min_prop_kernel,
+        functools.partial(_min_prop_kernel, variant),
         out_shape=jax.ShapeDtypeStruct((n, s1, s2), jnp.int32),
         grid=(n,),
         in_specs=[
@@ -353,8 +414,10 @@ def min_prop_windows_local(
     )(masks_u8, aux_i32)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def cc_ids_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def cc_ids_windows_local(
+    masks_u8: jax.Array, interpret: bool | None = None, variant: str | None = None
+) -> jax.Array:
     """Per-window CC + compact ids for (N, sh, sw) uint8 masks -> (N, sh, sw)
     int32 1-based component ids (0 = background), one grid step per window.
 
@@ -366,6 +429,8 @@ def cc_ids_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> 
     blows physical VMEM there (see _FUSED_IDS_MAX_ELEMS).  Both paths emit
     identical ids; hardware gate: scripts/check_rank_decode.py
     (interpret-mode tests cannot see Mosaic's scoped-VMEM accounting)."""
+    if variant is None:
+        variant = _DEFAULT_VARIANT
     n, s1, s2 = masks_u8.shape
     if s1 * s2 > 1024 * 1024:
         raise ValueError(
@@ -374,7 +439,7 @@ def cc_ids_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> 
             "whole-canvas labels-kernel shape)"
         )
     if s1 * s2 > _FUSED_IDS_MAX_ELEMS:
-        labels = cc_windows_local(masks_u8, interpret)  # root lin idx / _CC_BIG
+        labels = cc_windows_local(masks_u8, interpret, variant)  # root lin idx / _CC_BIG
         lin = (
             jax.lax.broadcasted_iota(jnp.int32, (s1, s2), 0) * s2
             + jax.lax.broadcasted_iota(jnp.int32, (s1, s2), 1)
@@ -385,9 +450,9 @@ def cc_ids_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> 
             .reshape(n, s1, s2)
         )
         aux0 = jnp.where(is_root, rank, _CC_BIG)
-        return min_prop_windows_local(masks_u8, aux0, interpret)
+        return min_prop_windows_local(masks_u8, aux0, interpret, variant)
     return pl.pallas_call(
-        _cc_ids_kernel,
+        functools.partial(_cc_ids_kernel, variant),
         out_shape=jax.ShapeDtypeStruct((n, s1, s2), jnp.int32),
         grid=(n,),
         in_specs=[pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0))],
@@ -397,13 +462,17 @@ def cc_ids_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> 
     )(masks_u8)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def cc_windows_local(masks_u8: jax.Array, interpret: bool | None = None) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def cc_windows_local(
+    masks_u8: jax.Array, interpret: bool | None = None, variant: str | None = None
+) -> jax.Array:
     """Per-window CC for (N, S, S) uint8 masks -> (N, S, S) int32 local root
     indices (_CC_BIG on background), one grid step per window."""
+    if variant is None:
+        variant = _DEFAULT_VARIANT
     n, s1, s2 = masks_u8.shape
     return pl.pallas_call(
-        _cc_window_kernel,
+        functools.partial(_cc_window_kernel, variant),
         out_shape=jax.ShapeDtypeStruct((n, s1, s2), jnp.int32),
         grid=(n,),
         in_specs=[pl.BlockSpec((1, s1, s2), lambda i: (i, 0, 0))],

@@ -160,3 +160,29 @@ def test_vmem_backend_matches_xla():
     a = np.asarray(connected_components(m, 8, "xla"))
     b = np.asarray(connected_components(m, 8, "vmem"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_cc_fixpoint_variants_bit_equal():
+    """Every CC fixpoint variant ('chunk2', 'diag', 'diagchunk2') must emit
+    ids bit-identical to 'base' — they trade per-round work against round
+    count but share one fixpoint (monotone min-propagation).  Adversarial
+    shapes: dense noise, thin diagonal strokes (the diag-sweep target), a
+    serpentine (the many-round worst case)."""
+    from comic_text_detector_tpu.ops.pallas_kernels import cc_ids_windows_local
+
+    rng = np.random.default_rng(11)
+    masks = np.zeros((4, 64, 128), np.uint8)
+    masks[0] = rng.random((64, 128)) < 0.45
+    for i in range(64):  # thin anti-aliased-like diagonal strokes
+        masks[1, i, (2 * i) % 128] = 1
+        masks[1, i, (2 * i + 1) % 128] = 1
+        masks[1, i, (127 - 2 * i) % 128] = 1
+    masks[2] = _serpentine(64)[:, :64].repeat(2, axis=1)
+    masks[3, 5:60, 5:120] = 1
+    masks[3][rng.random((64, 128)) < 0.15] = 0
+    dev = jnp.asarray(masks)
+    base = np.asarray(cc_ids_windows_local(dev, True, "base"))
+    for v in ("chunk2", "diag", "diagchunk2"):
+        np.testing.assert_array_equal(
+            base, np.asarray(cc_ids_windows_local(dev, True, v)), err_msg=v
+        )
