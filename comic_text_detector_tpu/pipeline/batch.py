@@ -266,13 +266,20 @@ class BatchTextDetector:
             )
             packed = _pack_canvas(canvases)
             packed.copy_to_host_async()
+            fetch_cache: dict = {}  # one device_get for the whole shape group
             for gi, i in enumerate(idxs):
-                tickets[i] = (packed, canvases, imgs, masks, gi, shape)
+                tickets[i] = (packed, canvases, imgs, masks, gi, shape, fetch_cache)
         return tickets
 
     def _finish_refine(self, ticket) -> np.ndarray:
-        packed, _canvases, _imgs, _masks, gi, shape = ticket
-        row = np.asarray(jax.device_get(packed[gi]))
+        packed, _canvases, _imgs, _masks, gi, shape, fetch_cache = ticket
+        if "host" not in fetch_cache:
+            # fetch the WHOLE group's packed canvases in one transfer: a
+            # per-page packed[gi] would dispatch a device slice + pay a
+            # tunnel round trip per page (RTT is ~25 ms and spikes under
+            # service congestion)
+            fetch_cache["host"] = np.asarray(jax.device_get(packed))
+        row = fetch_cache["host"][gi]
         # packbits pads the row tail; crop back to the page width
         return (np.unpackbits(row, axis=-1) * np.uint8(255))[:, : shape[1]]
 
@@ -285,7 +292,7 @@ class BatchTextDetector:
             _rescue_undetected_device,
         )
 
-        _packed, canvases, imgs, masks, gi, shape = ticket
+        _packed, canvases, imgs, masks, gi, shape, _fetch_cache = ticket
         extra = _rescue_undetected_device(
             imgs[gi], masks[gi], canvases[gi], refined, raw_mask, blk_list,
             img_shape, refine_mode,
