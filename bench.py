@@ -64,9 +64,17 @@ def main() -> None:
     if refine_backend != "device":
         mask_transfer = "grey"
 
+    # The SHIPPING checkpoint: flagship_r4 (in-framework trained; DB head
+    # val F1 0.605, promoted through scripts/eval_db_quality.py AND the
+    # torch-side pad-hazard gate, scripts/check_pad_hazard.py).  The
+    # cross-framework goldens stay pinned to flagship_r2 (its higher-margin
+    # heads keep torch-vs-XLA conv noise away from decision thresholds;
+    # tests/test_flagship_parity.py docstring) — that gates the CODE; this
+    # benches the shipped ARTIFACT, like the reference benches its own
+    # released model.
     ckpt = os.environ.get(
         "CTD_BENCH_CKPT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "flagship_r2.npz"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "flagship_r4.npz"),
     )
     if os.path.exists(ckpt):
         # trained-on-synthetic flagship checkpoint: realistic detection
@@ -91,8 +99,11 @@ def main() -> None:
     # Host->device transfer over the axon tunnel is the stream's dominant
     # byte path (1.9 MB/page grey u8) and its bandwidth swings 20 KB/s-
     # 20 MB/s between sessions (CLAUDE.md); stamping the measured rate into
-    # the metric makes cross-round comparisons interpretable.
-    probe = np.zeros((4 << 20,), np.uint8)
+    # the metric makes cross-round comparisons interpretable.  The payload
+    # must be REAL page bytes: the transport compresses (a zeros probe
+    # measured 4.2 GB/s — fiction), so only representative entropy gives a
+    # rate the stream will actually see.
+    probe = np.ascontiguousarray(img[..., 0])
     jax.block_until_ready(jax.device_put(probe))  # warm the path
     t0 = time.perf_counter()
     for _ in range(3):

@@ -35,7 +35,7 @@ def main() -> None:
     from comic_text_detector_tpu.pipeline.batch import BatchTextDetector
     from comic_text_detector_tpu.utils.io import imread
 
-    ckpt = osp.join(ROOT, "data", "flagship_r2.npz")
+    ckpt = os.environ.get("CTD_BENCH_CKPT", osp.join(ROOT, "data", "flagship_r4.npz"))
     det = TextDetector(
         model_path=ckpt, input_size=1024, half=True,
         refine_backend="device", mask_transfer="packed",

@@ -40,7 +40,7 @@ def main() -> None:
     from comic_text_detector_tpu.utils.io import imread
 
     det = TextDetector(
-        model_path=osp.join(ROOT, "data", "flagship_r2.npz"), input_size=1024, half=True,
+        model_path=os.environ.get("CTD_PROFILE_CKPT", osp.join(ROOT, "data", "flagship_r4.npz")), input_size=1024, half=True,
         refine_backend="device", mask_transfer="packed",
     )
     img = imread("/root/reference/data/examples/AisazuNihaIrarenai-003.jpg")
