@@ -37,6 +37,7 @@ at real page sizes — fall back to bilinear resampling into (512, 512).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -63,6 +64,14 @@ BUCKETS = (
     (640, 256, 4, 8192),  # tall blocks (vertical ja columns)
     (512, 512, 3, 8192),  # big blocks; doubles as the resample fallback
 )
+
+# Sweep knob: scale every bucket's slots-per-dispatch (fewer, fatter
+# dispatches).  Per-window device compute is invariant (the CC kernel grids
+# over windows), so this only trades per-dispatch overhead against pad-slot
+# waste — measured by scripts/bench_sweep.py before any default changes.
+_slots_mult = int(os.environ.get("CTD_REFINE_SLOTS_MULT", "1"))
+if _slots_mult > 1:
+    BUCKETS = tuple((h, w, s * _slots_mult, c) for h, w, s, c in BUCKETS)
 
 
 # ---------------------------------------------------------------------------

@@ -11,11 +11,14 @@ run() {
   timeout 3600 "$@" > "data/${name}_r4${TAG}.log" 2>&1
   echo "rc=$? $(date +%H:%M:%S)"
 }
+run cc_variant_ab python scripts/cc_variant_ab.py
 run profile_refine python scripts/profile_refine.py
 run profile_page python scripts/profile_page.py
 run bench_homog python bench.py
 CTD_BENCH_MIXED=1 run bench_mixed python bench.py
-# the shipping r4 checkpoint (epoch-9 DB head): realistic component counts
-CTD_BENCH_CKPT=data/flagship_r4.npz run bench_ckpt4 python bench.py
+# the r2 checkpoint: pathological-density DB map, cross-round comparability
+CTD_BENCH_CKPT=data/flagship_r2.npz run bench_ckpt2 python bench.py
 run bench_sweep python scripts/bench_sweep.py
+# fewer, fatter refine dispatches (device per-window work is invariant)
+CTD_REFINE_SLOTS_MULT=2 run bench_slots2 python bench.py
 echo "=== done $(date +%H:%M:%S) ==="
