@@ -121,3 +121,27 @@ def test_seg_trainer_sharded(tmp_path):
     }
     out = seg_trainer.train(hyp, max_steps=1, mesh=mesh)
     assert out["steps"] == 1 and np.isfinite(out["last_loss"])
+
+
+def test_device_refine_downloads_once_per_shape_group(pages, monkeypatch):
+    """The refine ticket path must fetch each shape group's packed canvases
+    in ONE jax.device_get (per-page row fetches each pay a device slice +
+    a tunnel round trip, ~25 ms over axon).  Expected transfers for a batch:
+    one for the compact infer outputs + one per distinct page shape."""
+    import jax as _jax
+
+    bdet = BatchTextDetector.random_init(
+        batch_size=4, input_size=256, half=False,
+        refine_backend="device", mask_transfer="packed",
+    )
+    tall = np.ascontiguousarray(pages[1][:-8])  # a second page SHAPE
+    batch = [pages[0], tall, pages[0], tall]  # 2 distinct shapes
+    n_groups = len({p.shape[:2] for p in batch})
+    assert n_groups == 2
+
+    calls = []
+    real_get = _jax.device_get
+    monkeypatch.setattr(_jax, "device_get", lambda x: calls.append(1) or real_get(x))
+    out = bdet.process_batch(batch)
+    assert len(out) == 4
+    assert len(calls) == 1 + n_groups, f"expected {1 + n_groups} transfers, saw {len(calls)}"
