@@ -381,12 +381,25 @@ def _cc_ids_kernel(variant, m_ref, o_ref):
 # Cost: one extra HBM round-trip of the canvas (~8 MB, tens of µs).
 _FUSED_IDS_MAX_ELEMS = 512 * 512
 
-# Default CC fixpoint variant for production paths.  Candidates ('chunk2',
+# Default CC fixpoint variants for production paths.  Candidates ('chunk2',
 # 'diag', 'diagchunk2' — see _parse_variant) are exactness-preserving but
-# must be hardware-A/B'd (scripts/cc_variant_ab.py) before this flips:
+# must be hardware-A/B'd (scripts/cc_variant_ab.py) before these flip:
 # Mosaic compile behavior and real round counts are invisible to
 # interpret-mode tests.
-_DEFAULT_VARIANT = "base"
+#
+# r4e A/B (data/cc_variant_ab_r4e.log + the synth gate): 'chunk2' (two
+# propagation rounds per convergence check — halves the any()-reduce +
+# while-loop round-trip count) is faster AND bit-equal at every production
+# bucket shape on the fused window kernel (e.g. 6.48->5.70 ms at 256x256/32,
+# 21.00->17.80 at 512x256/24, 14.45->12.90 at 512x512/12).  At the 1024x1024
+# whole-canvas labels shape chunk2 FAILS to compile (Mosaic internal error,
+# HTTP 500 from the remote compiler) — the split/canvas path stays on 'base'.
+# 'diag' variants lose everywhere (the doubling diagonal sweeps cost more
+# than the rounds they save on real candidate sets).
+_DEFAULT_VARIANT = "base"  # canvas labels / min-propagate (split path)
+# Flips to 'chunk2' once the synth gate covers the one bucket shape the r4e
+# page A/B couldn't reach (640x256): CTD_AB_CASES=synth scripts/cc_variant_ab.py
+_DEFAULT_FUSED_VARIANT = "base"  # fused window labels+ranks kernel
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -429,9 +442,12 @@ def cc_ids_windows_local(
     blows physical VMEM there (see _FUSED_IDS_MAX_ELEMS).  Both paths emit
     identical ids; hardware gate: scripts/check_rank_decode.py
     (interpret-mode tests cannot see Mosaic's scoped-VMEM accounting)."""
-    if variant is None:
-        variant = _DEFAULT_VARIANT
     n, s1, s2 = masks_u8.shape
+    if variant is None:
+        variant = (
+            _DEFAULT_VARIANT if s1 * s2 > _FUSED_IDS_MAX_ELEMS
+            else _DEFAULT_FUSED_VARIANT
+        )
     if s1 * s2 > 1024 * 1024:
         raise ValueError(
             f"cc_ids_windows_local: window {s1}x{s2} exceeds the in-VMEM "

@@ -29,7 +29,28 @@ ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 EXAMPLE = "/root/reference/data/examples/AisazuNihaIrarenai-003.jpg"
-VARIANTS = ("base", "chunk2", "diag", "diagchunk2")
+# CTD_AB_VARIANTS narrows the sweep (comma list); CTD_AB_CASES=synth runs
+# ONLY synthetic window sets at every production bucket shape, skipping the
+# detector build entirely — the quick compile+equality gate before a default
+# flip (real-page timings come from the full run).
+VARIANTS = tuple(
+    os.environ.get("CTD_AB_VARIANTS", "base,chunk2,diag,diagchunk2").split(",")
+)
+
+
+def _synth_windows(np, bh: int, bw: int, n_win: int):
+    """Serpentine snakes (the propagation worst case: one component whose
+    label must walk the whole snake) interleaved with dense random blobs."""
+    rng = np.random.default_rng(0)
+    syn = np.zeros((n_win, bh, bw), np.uint8)
+    for j in range(n_win):
+        if j % 2 == 0:
+            syn[j, ::2, :] = 1
+            syn[j, 1::4, 0] = 1
+            syn[j, 3::4, bw - 1] = 1
+        else:
+            syn[j] = (rng.random((bh, bw)) < 0.35).astype(np.uint8)
+    return syn
 
 
 def main() -> int:
@@ -52,6 +73,22 @@ def main() -> int:
     from comic_text_detector_tpu.utils.imgproc import expand_textwindow
     from comic_text_detector_tpu.utils.io import imread
 
+    def amortize(fn, n=10):
+        jax.block_until_ready(fn())  # compile/warm
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / n
+
+    if os.environ.get("CTD_AB_CASES", "all") == "synth":
+        cases = []
+        for bh, bw, slots, _cap in R.BUCKETS:
+            syn_dev = jnp.asarray(_synth_windows(np, bh, bw, 4 * slots))
+            jax.block_until_ready(syn_dev)
+            cases.append((f"bucket {bh}x{bw} ({4 * slots} win, synth)", syn_dev, cc_ids_windows_local))
+        return run_cases(cases, VARIANTS, amortize, np)
+
     ckpt = sys.argv[1] if len(sys.argv) > 1 else osp.join(ROOT, "data", "flagship_r4.npz")
     det = TextDetector(
         model_path=ckpt, input_size=1024, half=True,
@@ -72,14 +109,6 @@ def main() -> int:
     windows = np.asarray(
         [expand_textwindow(img.shape, blk.xyxy, expand_r=16) for blk in blk_list]
     ).reshape(-1, 4)
-
-    def amortize(fn, n=10):
-        jax.block_until_ready(fn())  # compile/warm
-        t0 = time.perf_counter()
-        for _ in range(n):
-            r = fn()
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / n
 
     failures = 0
 
@@ -109,6 +138,16 @@ def main() -> int:
         jax.block_until_ready(fgs_u8)
         cases.append((f"bucket {bh}x{bw} ({4 * slots} win)", fgs_u8, cc_ids_windows_local))
 
+    # --- synthetic fills for bucket shapes this page has no windows in ---
+    # (a default flip must cover EVERY production shape)
+    covered = {R.BUCKETS[bi if bi >= 0 else -1][:2] for bi in groups}
+    for bh, bw, slots, _cap in R.BUCKETS:
+        if (bh, bw) in covered:
+            continue
+        syn_dev = jnp.asarray(_synth_windows(np, bh, bw, 4 * slots))
+        jax.block_until_ready(syn_dev)
+        cases.append((f"bucket {bh}x{bw} ({4 * slots} win, synth)", syn_dev, cc_ids_windows_local))
+
     # --- whole-canvas labels shape (the 1024 DB-decode labeling) ---
     x = lb_u8.astype(jnp.float32) / 255.0
     _, _, lines = jax.jit(det._apply)(det.variables, x[None])
@@ -118,14 +157,18 @@ def main() -> int:
     print(f"whole-canvas fg frac {float(jnp.mean(bitmap)):.4f}")
     cases.append(("canvas 1024x1024 labels", bitmap, cc_windows_local))
 
+    return run_cases(cases, VARIANTS, amortize, np, failures)
+
+
+def run_cases(cases, variants, amortize, np, failures=0):
     for label, data, kernel in cases:
         ref = None
         row = []
-        for v in VARIANTS:
+        for v in variants:
             try:
                 dt = amortize(lambda k=kernel, d=data, vv=v: k(d, None, vv))
             except Exception as e:  # compile failure (e.g. scoped-VMEM blowout)
-                print(f"{label:28s} {v:10s} COMPILE FAIL: {str(e)[:120]}")
+                print(f"{label:28s} {v:10s} COMPILE FAIL: {str(e)[:120]}", flush=True)
                 failures += 1
                 continue
             outv = np.asarray(kernel(data, None, v))
@@ -137,7 +180,7 @@ def main() -> int:
                 if not eq:
                     failures += 1
             row.append(f"{v}={dt * 1e3:6.2f}ms{'' if eq else ' MISMATCH'}")
-        print(f"{label:28s} " + "  ".join(row))
+        print(f"{label:28s} " + "  ".join(row), flush=True)
 
     if failures:
         print(f"FAILURES: {failures}")
