@@ -82,8 +82,12 @@ def main() -> int:
         return (time.perf_counter() - t0) / n
 
     if os.environ.get("CTD_AB_CASES", "all") == "synth":
+        only = os.environ.get("CTD_AB_BUCKETS", "")  # e.g. "640x256,512x512"
+        want = {tuple(map(int, s.split("x"))) for s in only.split(",") if s}
         cases = []
         for bh, bw, slots, _cap in R.BUCKETS:
+            if want and (bh, bw) not in want:
+                continue
             syn_dev = jnp.asarray(_synth_windows(np, bh, bw, 4 * slots))
             jax.block_until_ready(syn_dev)
             cases.append((f"bucket {bh}x{bw} ({4 * slots} win, synth)", syn_dev, cc_ids_windows_local))
