@@ -99,16 +99,38 @@ def main() -> None:
     # Host->device transfer over the axon tunnel is the stream's dominant
     # byte path (1.9 MB/page grey u8) and its bandwidth swings 20 KB/s-
     # 20 MB/s between sessions (CLAUDE.md); stamping the measured rate into
-    # the metric makes cross-round comparisons interpretable.  The payload
-    # must be REAL page bytes: the transport compresses (a zeros probe
-    # measured 4.2 GB/s — fiction), so only representative entropy gives a
-    # rate the stream will actually see.
-    probe = np.ascontiguousarray(img[..., 0])
-    jax.block_until_ready(jax.device_put(probe))  # warm the path
+    # the metric makes cross-round comparisons interpretable.  Two traps,
+    # both hit in past rounds: the transport COMPRESSES (a zeros probe
+    # measured 4.2 GB/s of fiction) and it DEDUPES/CACHES repeats (the r4
+    # probe re-uploaded one real plane 3x and stamped 2.6-3.2 GB/s while a
+    # fresh page upload in the same session measured 47 MB/s).  So every
+    # rep must carry DISTINCT real-page entropy: rolled copies of the page
+    # plane (same byte statistics, different bytes at every offset), and
+    # the stamp is cross-checked against one timed fresh full-page upload —
+    # the two must agree within 2x or the stamp is marked suspect.
+    plane = np.ascontiguousarray(img[..., 0])
+    jax.block_until_ready(jax.device_put(plane))  # warm the path
+    rng = np.random.default_rng(12345)
+    reps = [
+        np.ascontiguousarray(
+            np.roll(plane, (int(rng.integers(37, plane.shape[0] - 37)),
+                            int(rng.integers(37, plane.shape[1] - 37))), (0, 1))
+        )
+        for _ in range(6)
+    ]
     t0 = time.perf_counter()
-    for _ in range(3):
-        jax.block_until_ready(jax.device_put(probe))
-    tunnel_mbps = 3 * probe.nbytes / (time.perf_counter() - t0) / 1e6
+    jax.block_until_ready([jax.device_put(p) for p in reps])
+    tunnel_mbps = sum(p.nbytes for p in reps) / (time.perf_counter() - t0) / 1e6
+    page_probe = np.ascontiguousarray(
+        np.roll(img, int(rng.integers(37, img.shape[0] - 37)), 0)
+    )
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(page_probe))
+    page_mbps = page_probe.nbytes / (time.perf_counter() - t0) / 1e6
+    ratio = max(tunnel_mbps, page_mbps) / max(1e-9, min(tunnel_mbps, page_mbps))
+    tunnel_note = f"tunnel {tunnel_mbps:.1f} MB/s" + (
+        f" (SUSPECT: page xcheck {page_mbps:.1f})" if ratio > 2.0 else ""
+    )
 
     # --- single-page latency (p50) ---
     for _ in range(2):
@@ -165,7 +187,7 @@ def main() -> None:
                     f"{'bf16' if half else 'f32'}{', mixed pages' if mixed else ''}, "
                     f"{jax.devices()[0].device_kind}; "
                     f"single-page p50 {p50_ms:.0f} ms; "
-                    f"tunnel {tunnel_mbps:.1f} MB/s)"
+                    f"{tunnel_note})"
                 ),
                 "value": round(pages_per_sec, 4),
                 "unit": "pages/sec",

@@ -262,11 +262,18 @@ def _cc_round(l: jax.Array, m: jax.Array, diag_sweep: bool = False) -> jax.Array
     return jnp.where(m > 0, jnp.minimum(l, diag), _CC_BIG)
 
 
+_CC_VARIANTS = ("base", "chunk2", "diag", "diagchunk2")
+
+
 def _parse_variant(variant: str) -> tuple[int, bool]:
     """'base' | 'chunk2' | 'diag' | 'diagchunk2' -> (rounds per convergence
     check, diagonal-sweep rounds).  All variants reach the identical
     fixpoint (min-propagation is monotone and idempotent at convergence);
     they trade per-round work against round count and check overhead."""
+    if variant not in _CC_VARIANTS:
+        raise ValueError(
+            f"unknown CC fixpoint variant {variant!r}; expected one of {_CC_VARIANTS}"
+        )
     diag = variant.startswith("diag")
     chunk = 2 if variant.endswith("chunk2") else 1
     return chunk, diag

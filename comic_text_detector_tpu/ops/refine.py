@@ -69,7 +69,14 @@ BUCKETS = (
 # dispatches).  Per-window device compute is invariant (the CC kernel grids
 # over windows), so this only trades per-dispatch overhead against pad-slot
 # waste — measured by scripts/bench_sweep.py before any default changes.
-_slots_mult = int(os.environ.get("CTD_REFINE_SLOTS_MULT", "1"))
+# Safe for the grid-CC fallback too: _stacked_cc stacks columns k=min(n,
+# SLOTS) tall with the UNSCALED module constant, so the mult widens the grid
+# canvas (more columns) without growing the validated 2112-row height, and
+# ops/cc.py's shape guards route any oversized canvas to the XLA sweeps.
+try:
+    _slots_mult = max(1, int(os.environ.get("CTD_REFINE_SLOTS_MULT", "1")))
+except ValueError:
+    _slots_mult = 1
 if _slots_mult > 1:
     BUCKETS = tuple((h, w, s * _slots_mult, c) for h, w, s, c in BUCKETS)
 

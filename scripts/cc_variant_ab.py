@@ -84,6 +84,11 @@ def main() -> int:
     if os.environ.get("CTD_AB_CASES", "all") == "synth":
         only = os.environ.get("CTD_AB_BUCKETS", "")  # e.g. "640x256,512x512"
         want = {tuple(map(int, s.split("x"))) for s in only.split(",") if s}
+        unmatched = want - {(bh, bw) for bh, bw, _, _ in R.BUCKETS}
+        if unmatched:  # a typo'd filter must not produce a silent all-pass
+            print(f"CTD_AB_BUCKETS entries match no bucket: {sorted(unmatched)}")
+            print(f"known buckets: {[(bh, bw) for bh, bw, _, _ in R.BUCKETS]}")
+            return 2
         cases = []
         for bh, bw, slots, _cap in R.BUCKETS:
             if want and (bh, bw) not in want:
@@ -91,6 +96,9 @@ def main() -> int:
             syn_dev = jnp.asarray(_synth_windows(np, bh, bw, 4 * slots))
             jax.block_until_ready(syn_dev)
             cases.append((f"bucket {bh}x{bw} ({4 * slots} win, synth)", syn_dev, cc_ids_windows_local))
+        if not cases:
+            print("no synth cases built — empty bucket selection")
+            return 2
         return run_cases(cases, VARIANTS, amortize, np)
 
     ckpt = sys.argv[1] if len(sys.argv) > 1 else osp.join(ROOT, "data", "flagship_r4.npz")

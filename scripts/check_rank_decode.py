@@ -78,7 +78,9 @@ def main() -> int:
     # at 1M-pixel components is expected (measured 2.29e-04 max on the r2
     # fg=0.42 map, data/check_rank_decode_r4d.log), far under the 0.05+
     # margins scores are compared against downstream (box_thresh).
-    if not np.allclose(sa[va], sb[vb], rtol=1e-3, atol=1e-3):
+    # Tolerance = 2x the measured worst case: passes known reassociation
+    # jitter while keeping headroom to catch a real score regression.
+    if not np.allclose(sa[va], sb[vb], rtol=5e-4, atol=5e-4):
         print(f"SCORE MISMATCH: max |d| {np.abs(sa[va] - sb[vb]).max():.2e}")
         return 1
     if not np.allclose(ba[va], bb[vb], rtol=1e-4, atol=1e-3):
