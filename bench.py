@@ -20,6 +20,20 @@ import time
 import numpy as np
 
 
+def _distinct(pages: list) -> list:
+    """Make every page in a (possibly cycled) stream byte-distinct by
+    rolling it a page-dependent amount.  The axon transport DEDUPES
+    repeated identical payloads (measured: same-buffer re-upload 2.6 GB/s
+    vs 47 MB/s fresh, r4), so a stream cycling identical pages gets its
+    uploads nearly for free — fiction relative to the reference driver's
+    workload of distinct files.  Rolls keep the shape, the byte statistics,
+    and the B==G==R grey-ness (all channels move together)."""
+    return [
+        np.ascontiguousarray(np.roll(p, (37 * i) % (p.shape[0] - 1) + 1, 0))
+        for i, p in enumerate(pages)
+    ]
+
+
 def _mixed_stream(example: np.ndarray, n_pages: int) -> list:
     """Fixed-seed heterogeneous page stream: the example page + two synthetic
     renderer pages at different aspect ratios (a tall portrait and a wide
@@ -137,9 +151,9 @@ def main() -> None:
         det(img)  # compile + warm
     iters = int(os.environ.get("CTD_BENCH_ITERS", "10"))
     times = []
-    for _ in range(iters):
+    for rep in _distinct([img] * iters):  # dedupe-proof: see _distinct
         t0 = time.perf_counter()
-        det(img)
+        det(rep)
         times.append(time.perf_counter() - t0)
     p50_ms = float(np.median(times)) * 1e3
 
@@ -162,9 +176,9 @@ def main() -> None:
         # bucket mix, upload bytes and detection counts vary page to page
         # (a homogeneous stream can overfit optimizations to one page's
         # window profile — VERDICT r3 weak #5)
-        pages = _mixed_stream(img, n_pages)
+        pages = _distinct(_mixed_stream(img, n_pages))
     else:
-        pages = [img] * n_pages
+        pages = _distinct([img] * n_pages)
     list(bdet.stream(iter(pages[: bsz * 2]), prefetch=depth))  # compile + warm
     t0 = time.perf_counter()
     results = list(bdet.stream(iter(pages), prefetch=depth))
@@ -174,20 +188,37 @@ def main() -> None:
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     vs_baseline = None
+    base = None
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
         vs_baseline = pages_per_sec / base["torch_cpu_net_path_pages_per_sec"]
 
+    # --- mixed-page stream (the reference batch driver's real workload) ---
+    # Reported INSIDE the one metric line so the driver records it: the
+    # homogeneous headline alone hides the heterogeneous cost (VERDICT r4
+    # weak #6).  Skipped when the main stream is already mixed.
+    mixed_note = ""
+    if not mixed and os.environ.get("CTD_BENCH_MIXED2", "1") == "1":
+        mpages = _distinct(_mixed_stream(img, n_pages))
+        list(bdet.stream(iter(mpages[: bsz * 2]), prefetch=depth))  # compile+warm
+        t0 = time.perf_counter()
+        mres = list(bdet.stream(iter(mpages), prefetch=depth))
+        msec = time.perf_counter() - t0
+        assert len(mres) == n_pages
+        mpps = n_pages / msec
+        mx = f" = {mpps / base['torch_cpu_net_path_pages_per_sec']:.1f}x" if base else ""
+        mixed_note = f"; mixed {mpps:.2f} pages/s{mx}"
+
     print(
         json.dumps(
             {
                 "metric": (
-                    f"volume-stream pages/sec/chip @1024px (full pipeline, B={bsz}, "
+                    f"volume-stream pages/sec/chip @1024px (full pipeline, distinct-bytes stream, B={bsz}, "
                     f"{'bf16' if half else 'f32'}{', mixed pages' if mixed else ''}, "
                     f"{jax.devices()[0].device_kind}; "
                     f"single-page p50 {p50_ms:.0f} ms; "
-                    f"{tunnel_note})"
+                    f"{tunnel_note}{mixed_note})"
                 ),
                 "value": round(pages_per_sec, 4),
                 "unit": "pages/sec",

@@ -394,19 +394,26 @@ _FUSED_IDS_MAX_ELEMS = 512 * 512
 # Mosaic compile behavior and real round counts are invisible to
 # interpret-mode tests.
 #
-# r4e A/B (data/cc_variant_ab_r4e.log + the synth gate): 'chunk2' (two
-# propagation rounds per convergence check — halves the any()-reduce +
-# while-loop round-trip count) is faster AND bit-equal at every production
-# bucket shape on the fused window kernel (e.g. 6.48->5.70 ms at 256x256/32,
-# 21.00->17.80 at 512x256/24, 14.45->12.90 at 512x512/12).  At the 1024x1024
-# whole-canvas labels shape chunk2 FAILS to compile (Mosaic internal error,
-# HTTP 500 from the remote compiler) — the split/canvas path stays on 'base'.
+# r4e A/B (data/cc_variant_ab_r4e.log): 'chunk2' (two propagation rounds
+# per convergence check — halves the any()-reduce + while-loop round-trip
+# count) is faster AND bit-equal at every production bucket shape on the
+# fused window kernel with REAL example-page candidate sets (6.48->5.70 ms
+# at 256x256/32, 21.00->17.80 at 512x256/24, 14.45->12.90 at 512x512/12).
+# The r5 gate (data/cc_text_ab_r5gate.log) closed the last bucket: 640x256
+# compiles and is bit-equal at realistic glyph density (on glyph-only
+# windows the timings are a wash — text converges in few rounds — the win
+# comes from the noisier color-model candidate masks real pages produce).
 # 'diag' variants lose everywhere (the doubling diagonal sweeps cost more
 # than the rounds they save on real candidate sets).
+#
+# chunk2 CANNOT serve the whole-canvas shapes: chaining two rounds before
+# the convergence check doubles the fixpoint's live set on the scoped-VMEM
+# stack — measured 90.6 MB at 512x1024 (limit 64) and 189.2 MB at 1024x1024
+# (physical 128), data/repro_chunk2_r5gate.log.  The r4 "Mosaic internal
+# error" was this VMEM blowout surfacing through the remote compiler, not
+# a compiler bug.  Canvas/split paths stay on 'base'.
 _DEFAULT_VARIANT = "base"  # canvas labels / min-propagate (split path)
-# Flips to 'chunk2' once the synth gate covers the one bucket shape the r4e
-# page A/B couldn't reach (640x256): CTD_AB_CASES=synth scripts/cc_variant_ab.py
-_DEFAULT_FUSED_VARIANT = "base"  # fused window labels+ranks kernel
+_DEFAULT_FUSED_VARIANT = "chunk2"  # fused window labels+ranks kernel (<=512x512)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

@@ -14,6 +14,7 @@ inference.py:74-77, is a net no-op we do not repeat).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -69,17 +70,90 @@ def _expand_grey(g: jax.Array) -> jax.Array:
     return jnp.broadcast_to(g[:, :, None], (g.shape[0], g.shape[1], 3))
 
 
+def _rowdelta(plane: np.ndarray) -> np.ndarray:
+    """uint8 (H, W) -> vertical first-difference (row 0 kept), mod 256."""
+    d = plane.copy()
+    d[1:] -= plane[:-1]
+    return d
+
+
+def _un_rowdelta(d: jax.Array) -> jax.Array:
+    """Device inverse of :func:`_rowdelta`: prefix-sum the rows mod 256.
+    int32 accumulation (max H*255 « 2^31) cast back to uint8 IS the mod-256
+    prefix sum, so reconstruction is bit-exact."""
+    return jnp.cumsum(d.astype(jnp.int32), axis=0).astype(jnp.uint8)
+
+
+@jax.jit
+def _expand_grey_rd(d: jax.Array) -> jax.Array:
+    g = _un_rowdelta(d)
+    return jnp.broadcast_to(g[:, :, None], (g.shape[0], g.shape[1], 3))
+
+
+@jax.jit
+def _expand_delta_rd(planes: jax.Array) -> jax.Array:
+    """(3, H, W) uint8 [rowdelta(ch0), ch1-ch0, ch2-ch0] -> (H, W, 3).
+    uint8 adds wrap mod 256 exactly like the host-side subtraction, so
+    reconstruction is bit-exact for any color page."""
+    ch0 = _un_rowdelta(planes[0])
+    return jnp.stack([ch0, ch0 + planes[1], ch0 + planes[2]], axis=-1)
+
+
+# Upload wire-coding mode.  The axon tunnel transport compresses AND the
+# host->device byte stream bounds volume throughput (CLAUDE.md), so uploads
+# ship predictive-coded low-entropy payloads the transport can crush:
+#   'rowdelta' (default): vertical first-difference of the luminance plane
+#     (flat regions/gradients -> runs of constant bytes) + channel deltas
+#     for color pages (near-grey color pages -> near-zero planes);
+#   'delta': channel deltas only (no row prediction);
+#   'raw': plain arrays (the r2-r4 behavior).
+# All modes reconstruct BIT-EXACTLY on device (mod-256 uint8 arithmetic /
+# int32 prefix sums); only wire bytes and a trivial device decode differ.
+_UPLOAD_MODE = os.environ.get("CTD_UPLOAD_MODE", "rowdelta")
+
+
 def upload_page(img: np.ndarray) -> jax.Array:
     """Device copy of an (H, W, 3) uint8 page.
 
     Grayscale-content pages (B==G==R, the common case for manga scans) ship
-    ONE channel — 3x fewer bytes over the slow host<->TPU link, which bounds
-    volume throughput — and broadcast back to 3 channels on device.
-    Bit-exact: the expanded array equals the original by the checked
-    precondition."""
-    if _is_grey3(img):
+    ONE channel — 3x fewer bytes over the slow host<->TPU link — and
+    broadcast back to 3 channels on device.  Color pages ship PLANAR channel
+    deltas [ch0, ch1-ch0, ch2-ch0] instead of interleaved HWC (near-grey
+    pages make the delta planes mostly zeros).  On top of either, the
+    default 'rowdelta' mode predictive-codes the luminance plane vertically
+    so the compressing transport sees runs instead of texture gradients.
+    Every path is bit-exact by construction (mod-256 arithmetic both
+    sides); see _UPLOAD_MODE."""
+    grey = _is_grey3(img)
+    if _UPLOAD_MODE == "rowdelta":
+        if grey:
+            return _expand_grey_rd(jnp.asarray(_rowdelta(np.ascontiguousarray(img[..., 0]))))
+        if img.ndim == 3 and img.shape[2] == 3:
+            ch = np.ascontiguousarray(img.transpose(2, 0, 1))
+            ch[1] -= ch[0]
+            ch[2] -= ch[0]
+            ch[0] = _rowdelta(np.ascontiguousarray(img[..., 0]))
+            return _expand_delta_rd(jnp.asarray(ch))
+    elif _UPLOAD_MODE == "delta":
+        if grey:
+            return _expand_grey(jnp.asarray(np.ascontiguousarray(img[..., 0])))
+        if img.ndim == 3 and img.shape[2] == 3:
+            ch = np.ascontiguousarray(img.transpose(2, 0, 1))
+            ch[1] -= ch[0]
+            ch[2] -= ch[0]
+            return _expand_delta(jnp.asarray(ch))
+    elif grey:
         return _expand_grey(jnp.asarray(np.ascontiguousarray(img[..., 0])))
     return jnp.asarray(img)
+
+
+@jax.jit
+def _expand_delta(planes: jax.Array) -> jax.Array:
+    """(3, H, W) uint8 [ch0, ch1-ch0, ch2-ch0] -> (H, W, 3).  uint8 adds
+    wrap mod 256 exactly like the host-side subtraction, so reconstruction
+    is bit-exact for any color page."""
+    ch0 = planes[0]
+    return jnp.stack([ch0, ch0 + planes[1], ch0 + planes[2]], axis=-1)
 
 
 def postprocess_mask(mask, thresh=None) -> np.ndarray:
@@ -237,6 +311,7 @@ class TextDetector:
                     blks[0].astype(jnp.float32), self.conf_thresh, self.nms_thresh
                 )
                 mask_full = (mask[0, :, :, 0].astype(jnp.float32) * 255.0).astype(jnp.uint8)
+                up = None
                 if self.mask_transfer == "packed":
                     # upsample the grey mask to ORIGINAL page resolution on
                     # device (cv2-exact) and binarize at the reference's >30
@@ -249,7 +324,12 @@ class TextDetector:
                     mask_out = mask_full[: size - dh, : size - dw]
                 shrink = lines[0, :, :, 0].astype(jnp.float32)
                 boxes, scores, valid = db_decode_full_device(shrink, self.db_thresh)
-                return rows, count, mask_out, boxes, scores, valid, mask_full
+                # `up` rides along device-resident (no transfer): the refine
+                # stage consumes the SAME original-resolution grey mask, so
+                # returning it here saves a whole re-upsample dispatch
+                # (~22 ms/page single-page; the batch pipeline already did
+                # this via _upsample_mask_packed)
+                return rows, count, mask_out, boxes, scores, valid, mask_full, up
 
             return run
 
@@ -301,6 +381,7 @@ class TextDetector:
             mask_refined = self._refine_on_device(
                 img_dev, mask_full, blk_list, img.shape, dw, dh, refine_mode,
                 mask if keep_undetected_mask else None,
+                mask_dev=out[7],  # packed mode: reuse the in-dispatch upsample
             )
         else:
             mask_refined = refine_mask(img, mask, blk_list, refine_mode=refine_mode)
@@ -312,20 +393,22 @@ class TextDetector:
 
     def _refine_on_device(
         self, img_dev, mask_full, blk_list, img_shape, dw, dh, refine_mode,
-        undetected_mask=None,
+        undetected_mask=None, mask_dev=None,
     ) -> np.ndarray:
         """TPU refine path at ORIGINAL page resolution: the original image is
         already device-resident (it fed the device letterbox), the raw mask
-        upsamples on device, and all block windows refine in one batched
-        dispatch.  Windows match the reference's exactly, so sub-256px
-        windows are bit-exact against the host merge."""
+        upsample reuses the infer dispatch's (packed mode) or runs here once,
+        and all block windows refine in one batched dispatch.  Windows match
+        the reference's exactly, so sub-256px windows are bit-exact against
+        the host merge."""
         from comic_text_detector_tpu.ops.refine import refine_page
         from comic_text_detector_tpu.utils.imgproc import expand_textwindow
 
         size = self.input_size[0]
         im_h, im_w = img_shape[:2]
         content_w, content_h = size - dw, size - dh
-        mask_dev = _upsample_mask(mask_full, content_h, content_w, (im_h, im_w))
+        if mask_dev is None:
+            mask_dev = _upsample_mask(mask_full, content_h, content_w, (im_h, im_w))
 
         windows = [expand_textwindow(img_shape, blk.xyxy, expand_r=16) for blk in blk_list]
         canvas = refine_page(img_dev, mask_dev, np.asarray(windows).reshape(-1, 4), refine_mode)

@@ -53,6 +53,44 @@ def _synth_windows(np, bh: int, bw: int, n_win: int):
     return syn
 
 
+def _text_windows(np, bh: int, bw: int, n_win: int):
+    """Realistic-density candidate sets: kana-like glyph strokes at text
+    scale, pasted at the window's natural orientation (vertical columns for
+    tall buckets, rows for wide ones).  This is what thresholded color-model
+    masks of real text windows look like — the serpentine worst case is
+    unrepresentative for TIMING (its fixpoint converges in wildly different
+    round counts than glyph components; the r4f 640x256 synth gate timed
+    base at 0.03 ms, junk), so default-flip decisions use these."""
+    import random
+
+    from comic_text_detector_tpu.data.render import (
+        ORIENTATION_HOR,
+        ORIENTATION_VER,
+        draw_kana_block,
+    )
+
+    rng = random.Random(0)
+    out = np.zeros((n_win, bh, bw), np.uint8)
+    vertical = bh >= bw
+    orient = ORIENTATION_VER if vertical else ORIENTATION_HOR
+    for j in range(n_win):
+        s = rng.randint(16, 30)
+        pitch = s + max(2, s // 6)
+        chars_per_line = max(2, (bh if vertical else bw) // pitch - 1)
+        n_lines = max(2, (bw if vertical else bh) // pitch - 1)
+        counts = [rng.randint(max(1, chars_per_line - 3), chars_per_line)
+                  for _ in range(n_lines)]
+        _img, m, _p = draw_kana_block(counts, s, rng, orientation=orient)
+        if m is None:
+            continue
+        m = (np.asarray(m) > 127).astype(np.uint8)
+        mh, mw = min(m.shape[0], bh), min(m.shape[1], bw)
+        y0 = rng.randint(0, bh - mh)
+        x0 = rng.randint(0, bw - mw)
+        out[j, y0:y0 + mh, x0:x0 + mw] = m[:mh, :mw]
+    return out
+
+
 def main() -> int:
     os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
     import jax
@@ -81,7 +119,8 @@ def main() -> int:
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / n
 
-    if os.environ.get("CTD_AB_CASES", "all") == "synth":
+    case_mode = os.environ.get("CTD_AB_CASES", "all")
+    if case_mode in ("synth", "text"):
         only = os.environ.get("CTD_AB_BUCKETS", "")  # e.g. "640x256,512x512"
         want = {tuple(map(int, s.split("x"))) for s in only.split(",") if s}
         unmatched = want - {(bh, bw) for bh, bw, _, _ in R.BUCKETS}
@@ -89,15 +128,16 @@ def main() -> int:
             print(f"CTD_AB_BUCKETS entries match no bucket: {sorted(unmatched)}")
             print(f"known buckets: {[(bh, bw) for bh, bw, _, _ in R.BUCKETS]}")
             return 2
+        make = _text_windows if case_mode == "text" else _synth_windows
         cases = []
         for bh, bw, slots, _cap in R.BUCKETS:
             if want and (bh, bw) not in want:
                 continue
-            syn_dev = jnp.asarray(_synth_windows(np, bh, bw, 4 * slots))
+            syn_dev = jnp.asarray(make(np, bh, bw, 4 * slots))
             jax.block_until_ready(syn_dev)
-            cases.append((f"bucket {bh}x{bw} ({4 * slots} win, synth)", syn_dev, cc_ids_windows_local))
+            cases.append((f"bucket {bh}x{bw} ({4 * slots} win, {case_mode})", syn_dev, cc_ids_windows_local))
         if not cases:
-            print("no synth cases built — empty bucket selection")
+            print(f"no {case_mode} cases built — empty bucket selection")
             return 2
         return run_cases(cases, VARIANTS, amortize, np)
 

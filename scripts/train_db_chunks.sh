@@ -15,17 +15,21 @@ set -u
 cd "$(dirname "$0")/.."
 CHUNK=${1:-4}
 DEADLINE=${2:-39}
-WORK=data/db_work_r3
-LOG=data/train_db_r3.log
+# round-5: the script/work dir are parametrized so the same driver runs the
+# r5 retrain (CTD_DB_SCRIPT=scripts/train_db_r5.py CTD_DB_WORK=data/db_work_r5)
+SCRIPT=${CTD_DB_SCRIPT:-scripts/train_db_r3.py}
+WORK=${CTD_DB_WORK:-data/db_work_r3}
+LOG=${CTD_DB_LOG:-data/train_db_r3.log}
+export CTD_DB_WORK="$WORK"
 
 while true; do
   if [ -f /tmp/stop_db_training ]; then
     echo "$(date +%H:%M:%S) stop flag found, exiting" >> "$LOG"
     break
   fi
-  EPOCH=$(python - <<'EOF'
+  EPOCH=$(WORK="$WORK" python - <<'EOF'
 import json, os
-p = "data/db_work_r3/db_last.ctd.meta.json"
+p = os.path.join(os.environ["WORK"], "db_last.ctd.meta.json")
 print(json.load(open(p)).get("epoch", -1) if os.path.exists(p) else -1)
 EOF
 )
@@ -37,7 +41,7 @@ EOF
   # per-chunk wall cap: ~40 min/epoch under host load + compile headroom;
   # a hung remote TPU service otherwise wedges the driver forever
   timeout ${CTD_DB_CHUNK_TIMEOUT:-14400} env CTD_DB_RESUME=1 CTD_DB_EPOCHS_PER_RUN=$CHUNK \
-    python scripts/train_db_r3.py >> "$LOG" 2>&1
+    python "$SCRIPT" >> "$LOG" 2>&1
   rc=$?
   echo "$(date +%H:%M:%S) chunk exited rc=$rc" >> "$LOG"
   # rc!=0 (OOM-kill/compile hiccup) still resumes from the last saved ckpt;

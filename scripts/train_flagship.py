@@ -44,9 +44,15 @@ BATCH = 8
 PAGE_SIZES = [(640, 640), (896, 640), (832, 576), (768, 544), (704, 512), (640, 448)]
 
 
-def make_backgrounds(out_dir: str, n: int, seed: int) -> None:
+def make_backgrounds(out_dir: str, n: int, seed: int, extended: bool = False) -> None:
     """Text-free comic-ish pages: white/tinted panels, borders, gradients,
-    halftone noise, random shapes."""
+    halftone noise, random shapes.
+
+    ``extended`` (round 5) adds the page families the r4 DB head
+    hallucinated on — near-flat bright pages, periodic thin stripes, and
+    screentone-like dot grids (the r4 head fired a dense speck field across
+    whole bright pages: data/parity_r4_r5.log, /tmp shrink-map diagnosis).
+    Default False keeps the r2/r3 datasets reproducible."""
     from PIL import Image, ImageDraw
 
     os.makedirs(out_dir, exist_ok=True)
@@ -55,12 +61,29 @@ def make_backgrounds(out_dir: str, n: int, seed: int) -> None:
         h, w = PAGE_SIZES[int(rng.integers(0, len(PAGE_SIZES)))]
         base = int(rng.integers(200, 256))
         img = np.full((h, w, 3), base, np.uint8)
-        kind = i % 4
+        kind = i % 7 if extended else i % 4
         if kind == 1:  # vertical gradient
             g = np.linspace(base - 60, base, h).astype(np.uint8)
             img[:] = g[:, None, None]
         elif kind == 2:  # noise texture
             img = (img.astype(np.int16) + rng.integers(-25, 25, (h, w, 1))).clip(0, 255).astype(np.uint8)
+        elif kind == 4:  # periodic thin stripes (manga speed-lines / rules)
+            pitch = int(rng.integers(12, 96))
+            delta = int(rng.integers(10, 60))
+            if rng.random() < 0.5:
+                img[:, ::pitch] = max(0, base - delta)
+            else:
+                img[::pitch, :] = max(0, base - delta)
+        elif kind == 5:  # screentone-like dot grid
+            pitch = int(rng.integers(6, 24))
+            r_dot = max(1, pitch // int(rng.integers(3, 6)))
+            tone = int(rng.integers(120, 220))
+            yy, xx = np.mgrid[0:h, 0:w]
+            dots = ((yy % pitch) < r_dot) & ((xx % pitch) < r_dot)
+            img[dots] = tone
+        # kind 6: near-flat bright page (no texture at all — just the base
+        # tone; the panel borders/shapes below stay, matching real empty
+        # manga pages)
         pil = Image.fromarray(img)
         draw = ImageDraw.Draw(pil)
         # panel borders

@@ -137,7 +137,35 @@ def test_upload_page_grey_roundtrip():
     np.testing.assert_array_equal(np.asarray(upload_page(color)), color)
 
     # almost-grey page (one differing pixel beyond the sample stride) must
-    # NOT take the single-channel path
+    # NOT take the single-channel path — it takes the planar-delta path,
+    # which must reconstruct bit-exactly (mod-256 wraparound both sides)
     tricky = grey3.copy()
     tricky[5, 7, 2] ^= 1
     np.testing.assert_array_equal(np.asarray(upload_page(tricky)), tricky)
+
+    # delta wraparound stress: channels straddling 0/255 so ch1-ch0
+    # underflows and ch0+delta overflows
+    wrap = np.zeros((16, 16, 3), np.uint8)
+    wrap[..., 0] = 250
+    wrap[..., 1] = 3  # delta = 3-250 = 9 mod 256
+    wrap[..., 2] = rng.integers(0, 255, (16, 16), np.uint8)
+    np.testing.assert_array_equal(np.asarray(upload_page(wrap)), wrap)
+
+    # the caller's page must not be mutated by the in-place delta packing
+    before = color.copy()
+    upload_page(color)
+    np.testing.assert_array_equal(color, before)
+
+    # every wire-coding mode reconstructs bit-exactly (mod-256 arithmetic)
+    import comic_text_detector_tpu.pipeline.detector as D
+
+    old_mode = D._UPLOAD_MODE
+    try:
+        for mode in ("raw", "delta", "rowdelta"):
+            D._UPLOAD_MODE = mode
+            for page in (grey3, color, tricky, wrap):
+                np.testing.assert_array_equal(
+                    np.asarray(upload_page(page)), page, err_msg=mode
+                )
+    finally:
+        D._UPLOAD_MODE = old_mode
