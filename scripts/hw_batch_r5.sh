@@ -36,6 +36,11 @@ run profile_refine python scripts/profile_refine.py
 run bench_homog python bench.py
 # r2 comparability + sweep-style runs skip the mixed tail (time)
 CTD_BENCH_CKPT=data/flagship_r2.npz CTD_BENCH_MIXED2=0 run bench_ckpt2 python bench.py
+# upload wire-coding A/B: rowdelta (new default) vs raw on the same stream
+CTD_UPLOAD_MODE=raw CTD_BENCH_MIXED2=0 run bench_rawup python bench.py
 CTD_REFINE_SLOTS_MULT=2 CTD_BENCH_MIXED2=0 run bench_slots2 python bench.py
 CTD_BENCH_DEPTH=3 CTD_BENCH_MIXED2=0 run bench_depth3 python bench.py
+# drift bracket: repeat the headline config so within-batch service drift
+# is visible (service conditions swing ~2x between sessions, CLAUDE.md)
+CTD_BENCH_MIXED2=0 run bench_homog2 python bench.py
 echo "=== done $(date +%H:%M:%S) ==="
