@@ -20,42 +20,61 @@ import time
 import numpy as np
 
 
-def _distinct(pages: list) -> list:
-    """Make every page in a (possibly cycled) stream byte-distinct by
-    rolling it a page-dependent amount.  The axon transport DEDUPES
-    repeated identical payloads (measured: same-buffer re-upload 2.6 GB/s
-    vs 47 MB/s fresh, r4), so a stream cycling identical pages gets its
-    uploads nearly for free — fiction relative to the reference driver's
-    workload of distinct files.  Rolls keep the shape, the byte statistics,
-    and the B==G==R grey-ness (all channels move together)."""
-    return [
-        np.ascontiguousarray(np.roll(p, (37 * i) % (p.shape[0] - 1) + 1, 0))
-        for i, p in enumerate(pages)
-    ]
+# Stream honesty note (r5).  The axon transport dedupes repeated content
+# with content-defined chunking: re-sending the same page is nearly free,
+# and even ROLLED copies of a page dedupe (r5b measured a rolled-plane
+# probe at 3.4 GB/s vs 142 MB/s for a genuinely fresh page).  There is no
+# cheap way to make "the same page repeated" honest on the wire, so the
+# two streams split the concern:
+#   * homogeneous (headline): the example page repeated — measures per-page
+#     COMPUTE throughput with content-cached uploads; comparable to the
+#     r2-r4 records and the BASELINE bar.
+#   * mixed: GENUINELY DISTINCT renderer pages (below) — every page's
+#     bytes are first-time content, so it carries the full upload cost the
+#     reference batch driver's arbitrary-directory walks pay
+#     (reference inference.py:19-70).
 
 
-def _mixed_stream(example: np.ndarray, n_pages: int) -> list:
-    """Fixed-seed heterogeneous page stream: the example page + two synthetic
-    renderer pages at different aspect ratios (a tall portrait and a wide
-    spread), cycled to ``n_pages``.  Mirrors the reference batch driver's
-    arbitrary-directory walks (reference inference.py:19-70), where page
-    shapes and text densities vary within one run."""
+def _mixed_stream(example: np.ndarray, n_pages: int, warm: int = 0) -> tuple:
+    """(warm_pages, timed_pages): genuinely distinct synthetic pages cycling
+    three shapes — the example page's, a tall portrait, and a wide spread —
+    plus the real example page once.  Distinct content per page (no cycling:
+    the deduping transport would strip repeated uploads, see note above).
+    ``warm`` extra pages (same shape cycle, distinct content) are returned
+    separately so every page-shape jit compiles OUTSIDE the timed region
+    without the warm pass priming the timed pages' bytes."""
     from comic_text_detector_tpu.data.render import ComicTextRenderer
 
     rng = np.random.default_rng(7)
     rend = ComicTextRenderer(seed=7, bubble_prob=0.5, blocks_per_page=(4, 10))
-    synth = []
-    for h, w in ((1500, 1060), (1056, 1500)):
-        g = np.linspace(180, 240, h).astype(np.uint8)
+    shapes = [example.shape[:2], (1500, 1060), (1056, 1500)]
+
+    def make(i: int) -> np.ndarray:
+        h, w = shapes[i % 3]
+        lo, hi = int(rng.integers(165, 205)), int(rng.integers(220, 252))
+        g = np.linspace(lo, hi, h).astype(np.uint8)
         bg = np.broadcast_to(g[:, None, None], (h, w, 3)).copy()
         bg = (
             (bg.astype(np.int16) + rng.integers(-18, 18, (h, w, 1)))
             .clip(0, 255)
             .astype(np.uint8)
         )
-        synth.append(rend.render_page(bg)["img"])
-    cycle = [example] + synth
-    return [cycle[i % len(cycle)] for i in range(n_pages)]
+        return rend.render_page(bg)["img"]
+
+    warm_pages = [make(i) for i in range(warm)]
+    timed = [example] + [make(warm + i) for i in range(n_pages - 1)]
+    return warm_pages, timed
+
+
+def _warm_buckets(pages: list, bsz: int, refine_backend: str) -> None:
+    """Pre-compile every refine bucket kernel for each distinct page shape
+    in the stream (one-time, untimed — see ops/refine.py::warm_refine_buckets)."""
+    if refine_backend != "device":
+        return
+    from comic_text_detector_tpu.ops.refine import warm_refine_buckets
+
+    for shape in {p.shape[:2] for p in pages}:
+        warm_refine_buckets(shape, p=bsz)
 
 
 def main() -> None:
@@ -122,28 +141,32 @@ def main() -> None:
     # plane (same byte statistics, different bytes at every offset), and
     # the stamp is cross-checked against one timed fresh full-page upload —
     # the two must agree within 2x or the stamp is marked suspect.
-    plane = np.ascontiguousarray(img[..., 0])
-    jax.block_until_ready(jax.device_put(plane))  # warm the path
+    # r5 probe design: content-derived reps (rolls included — the chunking
+    # is content-defined) dedupe and stamp fiction.  Two honest numbers:
+    #   floor  — fresh random bytes per rep: incompressible, undedupable;
+    #            the transport's worst-case rate.
+    #   page   — ONE first-time upload of the raw example page (nothing has
+    #            sent these interleaved bytes yet this process): the
+    #            real-page rate including legitimate compression gains.
+    # Warm the transfer path with a small random buffer (never page bytes —
+    # anything sent now is 'seen' by the dedupe).
     rng = np.random.default_rng(12345)
-    reps = [
-        np.ascontiguousarray(
-            np.roll(plane, (int(rng.integers(37, plane.shape[0] - 37)),
-                            int(rng.integers(37, plane.shape[1] - 37))), (0, 1))
-        )
-        for _ in range(6)
-    ]
+    jax.block_until_ready(jax.device_put(rng.integers(0, 256, (256, 256), np.uint8)))
+    plane_shape = img.shape[:2]
+    floors = []
+    for _ in range(4):
+        buf = rng.integers(0, 256, plane_shape, np.uint8)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        floors.append(buf.nbytes / (time.perf_counter() - t0) / 1e6)
+    floor_mbps = float(np.median(floors))
     t0 = time.perf_counter()
-    jax.block_until_ready([jax.device_put(p) for p in reps])
-    tunnel_mbps = sum(p.nbytes for p in reps) / (time.perf_counter() - t0) / 1e6
-    page_probe = np.ascontiguousarray(
-        np.roll(img, int(rng.integers(37, img.shape[0] - 37)), 0)
-    )
-    t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(page_probe))
-    page_mbps = page_probe.nbytes / (time.perf_counter() - t0) / 1e6
-    ratio = max(tunnel_mbps, page_mbps) / max(1e-9, min(tunnel_mbps, page_mbps))
-    tunnel_note = f"tunnel {tunnel_mbps:.1f} MB/s" + (
-        f" (SUSPECT: page xcheck {page_mbps:.1f})" if ratio > 2.0 else ""
+    jax.block_until_ready(jax.device_put(img))
+    page_mbps = img.nbytes / (time.perf_counter() - t0) / 1e6
+    # a page rate far above the incompressible floor means the 'fresh' page
+    # wasn't fresh after all (cached earlier in the process) — flag it
+    tunnel_note = f"tunnel page {page_mbps:.1f} MB/s (random floor {floor_mbps:.1f})" + (
+        " SUSPECT" if page_mbps > 20 * floor_mbps else ""
     )
 
     # --- single-page latency (p50) ---
@@ -151,9 +174,9 @@ def main() -> None:
         det(img)  # compile + warm
     iters = int(os.environ.get("CTD_BENCH_ITERS", "10"))
     times = []
-    for rep in _distinct([img] * iters):  # dedupe-proof: see _distinct
+    for _ in range(iters):
         t0 = time.perf_counter()
-        det(rep)
+        det(img)
         times.append(time.perf_counter() - t0)
     p50_ms = float(np.median(times)) * 1e3
 
@@ -176,10 +199,12 @@ def main() -> None:
         # bucket mix, upload bytes and detection counts vary page to page
         # (a homogeneous stream can overfit optimizations to one page's
         # window profile — VERDICT r3 weak #5)
-        pages = _distinct(_mixed_stream(img, n_pages))
+        warm_pages, pages = _mixed_stream(img, n_pages, warm=bsz * 3)
+        _warm_buckets(pages, bsz, refine_backend)
     else:
-        pages = _distinct([img] * n_pages)
-    list(bdet.stream(iter(pages[: bsz * 2]), prefetch=depth))  # compile + warm
+        pages = [img] * n_pages
+        warm_pages = pages[: bsz * 2]
+    list(bdet.stream(iter(warm_pages), prefetch=depth))  # compile + warm
     t0 = time.perf_counter()
     results = list(bdet.stream(iter(pages), prefetch=depth))
     stream_sec = time.perf_counter() - t0
@@ -200,21 +225,22 @@ def main() -> None:
     # weak #6).  Skipped when the main stream is already mixed.
     mixed_note = ""
     if not mixed and os.environ.get("CTD_BENCH_MIXED2", "1") == "1":
-        mpages = _distinct(_mixed_stream(img, n_pages))
-        list(bdet.stream(iter(mpages[: bsz * 2]), prefetch=depth))  # compile+warm
+        mwarm, mpages = _mixed_stream(img, n_pages, warm=bsz * 3)
+        _warm_buckets(mpages, bsz, refine_backend)
+        list(bdet.stream(iter(mwarm), prefetch=depth))  # compile+warm
         t0 = time.perf_counter()
         mres = list(bdet.stream(iter(mpages), prefetch=depth))
         msec = time.perf_counter() - t0
         assert len(mres) == n_pages
         mpps = n_pages / msec
         mx = f" = {mpps / base['torch_cpu_net_path_pages_per_sec']:.1f}x" if base else ""
-        mixed_note = f"; mixed {mpps:.2f} pages/s{mx}"
+        mixed_note = f"; mixed distinct-pages {mpps:.2f} pages/s{mx}"
 
     print(
         json.dumps(
             {
                 "metric": (
-                    f"volume-stream pages/sec/chip @1024px (full pipeline, distinct-bytes stream, B={bsz}, "
+                    f"volume-stream pages/sec/chip @1024px (full pipeline, B={bsz}, "
                     f"{'bf16' if half else 'f32'}{', mixed pages' if mixed else ''}, "
                     f"{jax.devices()[0].device_kind}; "
                     f"single-page p50 {p50_ms:.0f} ms; "

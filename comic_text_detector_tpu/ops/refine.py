@@ -898,6 +898,32 @@ def refine_pages(
     return canvases
 
 
+def warm_refine_buckets(page_shape, p: int = 1, refine_mode: int = REFINEMASK_INPAINT) -> None:
+    """Compile every bucket kernel (and the resample fallback) for a
+    (H, W) page shape with a P-page stack, OUTSIDE any timed region.
+
+    Remote-TPU compiles take minutes; a first-seen (page-shape, bucket)
+    combination inside a timed stream destroys the measurement (r5c).  The
+    batch pipeline canonicalizes P to batch_size, so one call per distinct
+    page shape covers a whole heterogeneous stream.  Zero masks converge in
+    one fixpoint round, so the warm run itself is cheap."""
+    import numpy as np
+
+    h, w = page_shape
+    imgs = jnp.zeros((p, h, w, 3), jnp.uint8)
+    masks = jnp.zeros((p, h, w), jnp.uint8)
+    boxes = []
+    for bh, bw, _slots, _cap in BUCKETS:
+        boxes.append([0, 0, min(w, bw), min(h, bh)])
+    # a window too big for every bucket: the resample-fallback trace
+    fh, fw = min(h, BUCKETS[-1][0] + 64), min(w, BUCKETS[-1][1] + 64)
+    boxes.append([0, 0, fw, fh])
+    boxes = np.asarray(boxes, np.int32)
+    jax.block_until_ready(
+        refine_pages(imgs, masks, boxes, np.zeros((len(boxes),), np.int32), refine_mode)
+    )
+
+
 def refine_page(img, mask, window_boxes, refine_mode: int = REFINEMASK_INPAINT):
     """Single-page :func:`refine_pages` (returns the (H, W) canvas)."""
     import numpy as np

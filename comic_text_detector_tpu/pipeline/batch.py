@@ -252,8 +252,19 @@ class BatchTextDetector:
             groups.setdefault(page.shape[:2], []).append(i)
         tickets = [None] * len(pages)
         for shape, idxs in groups.items():
-            imgs = jnp.stack([origs[i] for i in idxs])
-            masks = jnp.stack([mask_devs[i] for i in idxs])
+            # Canonicalize the group stack to P = batch_size: with mixed
+            # page shapes the per-batch group size P varies page-mix to
+            # page-mix, and every new (P, bucket) combination retraces
+            # _refine_windows_jit — a multi-minute remote compile on this
+            # backend (r5c measured a distinct-page stream at 0.12 pages/s,
+            # all recompiles).  Pad rows repeat page 0 and receive no
+            # windows, so they add device memory but no compute; tickets
+            # only read rows < len(idxs).  For a homogeneous batch this is
+            # a no-op (P == batch_size already).
+            pad = self.batch_size - len(idxs)
+            pad_idx = [idxs[0]] * max(0, pad)
+            imgs = jnp.stack([origs[i] for i in idxs] + [origs[i] for i in pad_idx])
+            masks = jnp.stack([mask_devs[i] for i in idxs] + [mask_devs[i] for i in pad_idx])
             windows, pids = [], []
             for gi, i in enumerate(idxs):
                 for blk in blk_lists[i]:

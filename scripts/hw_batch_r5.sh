@@ -27,17 +27,21 @@ if [ "$TAG" = "gate" ]; then
   exit 0
 fi
 
-# per-stage r2-vs-r4 reconciliation (VERDICT r4 item 4): same session,
-# same code, only the checkpoint changes
-run profile_page python scripts/profile_page.py
-CTD_PROFILE_CKPT=data/flagship_r2.npz run profile_page_ckpt2 python scripts/profile_page.py
-run profile_refine python scripts/profile_refine.py
-# headline: homog + mixed in ONE metric line (CTD_BENCH_MIXED2 defaults on)
+if [ "$TAG" = "b" ]; then
+  # per-stage r2-vs-r4 reconciliation (VERDICT r4 item 4): same session,
+  # same code, only the checkpoint changes
+  run profile_page python scripts/profile_page.py
+  CTD_PROFILE_CKPT=data/flagship_r2.npz run profile_page_ckpt2 python scripts/profile_page.py
+  run profile_refine python scripts/profile_refine.py
+fi
+# headline: homog + mixed-distinct-pages in ONE metric line
 run bench_homog python bench.py
 # r2 comparability + sweep-style runs skip the mixed tail (time)
 CTD_BENCH_CKPT=data/flagship_r2.npz CTD_BENCH_MIXED2=0 run bench_ckpt2 python bench.py
-# upload wire-coding A/B: rowdelta (new default) vs raw on the same stream
-CTD_UPLOAD_MODE=raw CTD_BENCH_MIXED2=0 run bench_rawup python bench.py
+# upload wire-coding A/B on the stream where uploads are real (distinct
+# pages; homog uploads content-dedupe either way): raw vs the rowdelta
+# default (= bench_homog's mixed note)
+CTD_UPLOAD_MODE=raw CTD_BENCH_MIXED=1 run bench_rawup_mixed python bench.py
 CTD_REFINE_SLOTS_MULT=2 CTD_BENCH_MIXED2=0 run bench_slots2 python bench.py
 CTD_BENCH_DEPTH=3 CTD_BENCH_MIXED2=0 run bench_depth3 python bench.py
 # drift bracket: repeat the headline config so within-batch service drift
