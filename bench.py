@@ -1,10 +1,24 @@
 """Headline benchmark: full-pipeline pages/sec/chip at 1024px.
 
-Runs the end-to-end TextDetector (device letterbox + 3-head net + NMS + DB
-decode pixel stage on TPU; polygon/grouping/refinement on host) on the
-reference example page, and compares against the measured PyTorch-reference
-CPU baseline (BENCH_BASELINE.json, net-path scope — conservative: the
-reference's CPU post-processing would only slow it further).
+Runs the end-to-end batch pipeline (device letterbox + 3-head net + NMS + DB
+decode + device mask refinement on TPU; polygon/grouping on host) and
+compares against the measured PyTorch-reference CPU baseline
+(BENCH_BASELINE.json, net-path scope — conservative: the reference's CPU
+post-processing would only slow it further).
+
+HEADLINE = the MIXED distinct-pages stream (r5): genuinely distinct pages at
+three aspect ratios, so every page pays its real first-time upload cost and
+the refine bucket mix varies page to page — the workload the reference's
+batch driver actually runs (reference inference.py:19-70 walks arbitrary
+directories).  The homogeneous example-page stream (the r2-r4 headline;
+uploads content-dedupe on the transport, so it measures pure per-page
+compute) is still measured and reported in the metric note for cross-round
+comparability.  CTD_BENCH_HEADLINE=homog restores the old headline.
+
+The baseline denominator is valid for either stream: the torch net-path
+cost is content-independent (dense convs on the fixed 1024px letterbox —
+every page costs the same forward), and the CPU reference pays no upload
+at all, so the mixed comparison is conservative in the baseline's favor.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -212,18 +226,17 @@ def main() -> None:
     pages_per_sec = n_pages / stream_sec
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
-    vs_baseline = None
     base = None
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        vs_baseline = pages_per_sec / base["torch_cpu_net_path_pages_per_sec"]
 
     # --- mixed-page stream (the reference batch driver's real workload) ---
-    # Reported INSIDE the one metric line so the driver records it: the
-    # homogeneous headline alone hides the heterogeneous cost (VERDICT r4
-    # weak #6).  Skipped when the main stream is already mixed.
-    mixed_note = ""
+    # The r5 HEADLINE (see module docstring); the homogeneous number above
+    # rides in the metric note for r2-r4 comparability.  Skipped when the
+    # main stream is already mixed (CTD_BENCH_MIXED=1).
+    headline = os.environ.get("CTD_BENCH_HEADLINE", "mixed")
+    mpps = None
     if not mixed and os.environ.get("CTD_BENCH_MIXED2", "1") == "1":
         mwarm, mpages = _mixed_stream(img, n_pages, warm=bsz * 3)
         _warm_buckets(mpages, bsz, refine_backend)
@@ -233,22 +246,39 @@ def main() -> None:
         msec = time.perf_counter() - t0
         assert len(mres) == n_pages
         mpps = n_pages / msec
-        mx = f" = {mpps / base['torch_cpu_net_path_pages_per_sec']:.1f}x" if base else ""
-        mixed_note = f"; mixed distinct-pages {mpps:.2f} pages/s{mx}"
+    elif mixed:
+        mpps = pages_per_sec
+
+    homog_pps = None if mixed else pages_per_sec
+    if headline == "mixed" and mpps is not None:
+        value, kind = mpps, "mixed distinct pages"
+        note_pps, note_kind = homog_pps, "homogeneous example-page"
+    else:
+        value, kind = pages_per_sec, ("mixed distinct pages" if mixed else "homogeneous example-page")
+        note_pps, note_kind = mpps if not mixed else None, "mixed distinct pages"
+    vs = None
+    other_note = ""
+    if base is not None:
+        vs = value / base["torch_cpu_net_path_pages_per_sec"]
+        if note_pps is not None:
+            ox = note_pps / base["torch_cpu_net_path_pages_per_sec"]
+            other_note = f"; {note_kind} {note_pps:.2f} pages/s = {ox:.1f}x"
+    elif note_pps is not None:
+        other_note = f"; {note_kind} {note_pps:.2f} pages/s"
 
     print(
         json.dumps(
             {
                 "metric": (
-                    f"volume-stream pages/sec/chip @1024px (full pipeline, B={bsz}, "
-                    f"{'bf16' if half else 'f32'}{', mixed pages' if mixed else ''}, "
+                    f"volume-stream pages/sec/chip @1024px (full pipeline, {kind}, "
+                    f"B={bsz}, {'bf16' if half else 'f32'}, "
                     f"{jax.devices()[0].device_kind}; "
                     f"single-page p50 {p50_ms:.0f} ms; "
-                    f"{tunnel_note}{mixed_note})"
+                    f"{tunnel_note}{other_note})"
                 ),
-                "value": round(pages_per_sec, 4),
+                "value": round(value, 4),
                 "unit": "pages/sec",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+                "vs_baseline": round(vs, 2) if vs is not None else None,
             }
         )
     )

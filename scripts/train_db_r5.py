@@ -76,6 +76,14 @@ def render_r5_dataset(work: str) -> None:
             bg_dir = osp.join(work, f"bg_{split}_{tag}")
             out_dir = osp.join(work, split)
             make_backgrounds(bg_dir, n, seed=bg_seed, extended=True)
+            # rendered pages are named after their background file; both
+            # pools share one out_dir, so the bg names must carry the pool
+            # tag or the second pool OVERWRITES the first (r5 bug: the kana
+            # pool replaced the first 720 mix pages — 1649 usable train
+            # pages at 43% kana instead of 2400 at 30%)
+            for f in sorted(os.listdir(bg_dir)):
+                if not f.startswith(f"{tag}_"):
+                    os.replace(osp.join(bg_dir, f), osp.join(bg_dir, f"{tag}_{f}"))
             rend = ComicTextRenderer(
                 seed=rend_seed,
                 bubble_prob=0.5,
