@@ -80,6 +80,35 @@ except ValueError:
 if _slots_mult > 1:
     BUCKETS = tuple((h, w, s * _slots_mult, c) for h, w, s, c in BUCKETS)
 
+# Capacity knob: the component caps bound which window components can ever
+# be accepted (ranks >= cap are conservatively never merged), and the
+# accept-path cost — the factored one-hot component sums and take_accept
+# tables — scales linearly with cap.  The round-5 audit
+# (scripts/audit_component_caps.py, data/audit_component_caps_r5.log)
+# measured worst-case real component counts 5-45x under the shipping caps.
+# CTD_REFINE_CAPS overrides them for hardware A/Bs without a code edit:
+# either the named preset 'audit' (reduced caps sized >=5x the audited
+# worst case, multiples of the 64-wide factored one-hot radix) or a comma
+# list matched to BUCKETS order.  Malformed values raise — a typo must not
+# silently benchmark the wrong configuration.
+_CAP_PRESETS = {
+    # (256x256, 256x512, 512x256, 256x640, 640x256, 512x512); audited
+    # worsts 128/183/324/1567/none/483 — 256x640 and the never-observed
+    # 640x256 keep the shipping 8192.
+    "audit": (1024, 2048, 2048, 8192, 8192, 4096),
+}
+_caps_env = os.environ.get("CTD_REFINE_CAPS", "")
+if _caps_env:
+    _caps = _CAP_PRESETS.get(_caps_env)
+    if _caps is None:
+        _caps = tuple(int(v) for v in _caps_env.split(","))
+    if len(_caps) != len(BUCKETS) or any(c <= 0 or c % 64 for c in _caps):
+        raise ValueError(
+            f"CTD_REFINE_CAPS={_caps_env!r}: need {len(BUCKETS)} positive "
+            f"multiples of 64 (or a preset in {sorted(_CAP_PRESETS)})"
+        )
+    BUCKETS = tuple((h, w, s, c) for (h, w, s, _), c in zip(BUCKETS, _caps))
+
 
 # ---------------------------------------------------------------------------
 # Window extraction / paste-back (gather-based separable bilinear)
