@@ -97,16 +97,27 @@ _CAP_PRESETS = {
     # 640x256 keep the shipping 8192.
     "audit": (1024, 2048, 2048, 8192, 8192, 4096),
 }
+def _parse_caps(spec: str, n: int):
+    """Parse a CTD_REFINE_CAPS value: preset name or comma list of n caps,
+    each a positive multiple of the 64-wide one-hot radix.  Raises on
+    anything else."""
+    caps = _CAP_PRESETS.get(spec)
+    if caps is None:
+        try:
+            caps = tuple(int(v) for v in spec.split(","))
+        except ValueError:
+            caps = ()
+    if len(caps) != n or any(c <= 0 or c % 64 for c in caps):
+        raise ValueError(
+            f"CTD_REFINE_CAPS={spec!r}: need {n} positive multiples of 64 "
+            f"(or a preset in {sorted(_CAP_PRESETS)})"
+        )
+    return caps
+
+
 _caps_env = os.environ.get("CTD_REFINE_CAPS", "")
 if _caps_env:
-    _caps = _CAP_PRESETS.get(_caps_env)
-    if _caps is None:
-        _caps = tuple(int(v) for v in _caps_env.split(","))
-    if len(_caps) != len(BUCKETS) or any(c <= 0 or c % 64 for c in _caps):
-        raise ValueError(
-            f"CTD_REFINE_CAPS={_caps_env!r}: need {len(BUCKETS)} positive "
-            f"multiples of 64 (or a preset in {sorted(_CAP_PRESETS)})"
-        )
+    _caps = _parse_caps(_caps_env, len(BUCKETS))
     BUCKETS = tuple((h, w, s, c) for (h, w, s, _), c in zip(BUCKETS, _caps))
 
 

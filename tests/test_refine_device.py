@@ -247,3 +247,28 @@ def test_batch_rescue_undetected(monkeypatch):
     region_yes = refined_yes[60:100, 40:150]
     assert refined_no.sum() == 0  # no blocks, no refinement
     assert (region_yes > 0).mean() > 0.5  # rescue refined the region in
+
+
+def test_caps_parse_validation():
+    """CTD_REFINE_CAPS must reject typos instead of silently shipping the
+    wrong capacities (advisor-pattern guard)."""
+    n = len(R.BUCKETS)
+    assert R._parse_caps("audit", n) == R._CAP_PRESETS["audit"]
+    assert R._parse_caps(",".join(["128"] * n), n) == (128,) * n
+    for bad in ("1024", "nope", ",".join(["128"] * (n - 1) + ["127"])):
+        with pytest.raises(ValueError):
+            R._parse_caps(bad, n)
+
+
+@pytest.mark.parametrize("cap", [256, 1024])
+def test_reduced_cap_bit_equal(cap):
+    """Any cap above the window's real component count yields bit-identical
+    refinement (ranks >= cap are never accepted; below-cap ranks are
+    untouched) — the invariant the audit-sized cap reduction relies on."""
+    img, mask = _page(1)
+    box = np.array([[16, 16, 16 + R.S, 16 + R.S]], np.int32)
+    args = (jnp.asarray(img), jnp.asarray(mask), jnp.asarray(box),
+            jnp.asarray([True]), 1)
+    full = np.asarray(R.refine_windows(*args, cap=R.CAP))
+    small = np.asarray(R.refine_windows(*args, cap=cap))
+    np.testing.assert_array_equal(full, small)
