@@ -84,6 +84,9 @@ def rotate_image_and_polys(img: np.ndarray, ann: np.ndarray, degrees: float):
     from PIL import Image
 
     pil = Image.fromarray(img)
+    if len(ann) == 0:  # textless page: rotate the image alone
+        pil = pil.rotate(degrees, resample=Image.BILINEAR, expand=1)
+        return np.asarray(pil), ann
     center = (pil.width / 2, pil.height / 2)
     ann = ann.copy()
     ann[:, :, 0] *= pil.width

@@ -95,12 +95,19 @@ class DBDataset:
         img = imread(imp)
         im_h, im_w = img.shape[:2]
         ann = np.loadtxt(annp)
-        if ann.ndim == 1:
-            ann = ann[None]
-        ann = ann.astype(np.float64)
-        ann[:, ::2] /= im_w
-        ann[:, 1::2] /= im_h
-        ann = ann.reshape(len(ann), -1, 2)
+        if ann.size == 0:
+            # textless page (pure-negative example: batch-level OHEM then
+            # supervises its hardest false-positive pixels); an empty file
+            # otherwise reshapes to one 0-point "polygon" and crashes the
+            # map validators
+            ann = np.zeros((0, 4, 2), np.float64)
+        else:
+            if ann.ndim == 1:
+                ann = ann[None]
+            ann = ann.astype(np.float64)
+            ann[:, ::2] /= im_w
+            ann[:, 1::2] /= im_h
+            ann = ann.reshape(len(ann), -1, 2)
         if max_size is not None:
             if isinstance(max_size, tuple):
                 max_size = max_size[0]

@@ -232,3 +232,44 @@ def test_db_trainer_chunked_resume(tmp_path):
     # best_f1 restored from db_last and only ever monotone non-decreasing
     assert meta2["best_f1"] >= best1
     assert out["best_f1"] == meta2["best_f1"]
+
+
+def test_textless_page_dataset_and_batch():
+    """A page with an EMPTY line-*.txt (pure-negative example, round-5
+    speck-storm countermeasure) must flow through load_item, every augment,
+    and GT map generation with zero polygons — and an all-negative shrink
+    target must yield a finite loss (OHEM with no positives contributes ~0;
+    dice still penalizes false positives)."""
+    import tempfile
+
+    from comic_text_detector_tpu.data.augment import rotate_image_and_polys
+    from comic_text_detector_tpu.data.db_dataset import DBDataset
+
+    d = tempfile.mkdtemp()
+    img = np.full((96, 128, 3), 245, np.uint8)
+    img[::24, :] = 210
+    imwrite(osp.join(d, "neg.png"), img)
+    open(osp.join(d, "line-neg.txt"), "w").close()
+    texty = np.full((96, 96, 3), 235, np.uint8)
+    texty[30:50, 20:70] = 10
+    imwrite(osp.join(d, "tex.png"), texty)
+    np.savetxt(osp.join(d, "line-tex.txt"),
+               np.array([[20, 30, 70, 30, 70, 50, 20, 50]]), fmt="%d")
+
+    ds = DBDataset(d, img_size=96)
+    for i in range(len(ds)):
+        item = ds[i]
+        assert np.isfinite(item["shrink_map"]).all()
+    im0, ann0 = ds.load_item(0, 96)  # sorted: neg.png first
+    assert ann0.shape == (0, 4, 2)
+    _, ann_r = rotate_image_and_polys(im0, ann0, 30.0)
+    assert ann_r.shape == (0, 4, 2)
+    _, ann_m = ds.mini_mosaic(im0, ann0)
+    assert ann_m.shape[1:] == (4, 2)
+
+    # all-negative batch keeps the composite loss finite
+    gt = jnp.zeros((1, 32, 32))
+    mask = jnp.ones((1, 32, 32))
+    logits = jnp.full((1, 32, 32), 2.0)  # confident false positives
+    out = losses.balance_bce_loss(logits, gt, mask)
+    assert np.isfinite(float(out))
