@@ -111,17 +111,18 @@ def main() -> None:
     if refine_backend != "device":
         mask_transfer = "grey"
 
-    # The SHIPPING checkpoint: flagship_r4 (in-framework trained; DB head
-    # val F1 0.605, promoted through scripts/eval_db_quality.py AND the
-    # torch-side pad-hazard gate, scripts/check_pad_hazard.py).  The
-    # cross-framework goldens stay pinned to flagship_r2 (its higher-margin
-    # heads keep torch-vs-XLA conv noise away from decision thresholds;
-    # tests/test_flagship_parity.py docstring) — that gates the CODE; this
-    # benches the shipped ARTIFACT, like the reference benches its own
-    # released model.
+    # The SHIPPING checkpoint: flagship_r2 — the only artifact that passes
+    # the FULL promotion gate (speck + eval + pad + cross-framework parity
+    # goldens).  The round-5 audit found flagship_r4 fails 5 parity goldens
+    # (bright-page speck storm, data/parity_r4_r5.log) and every epoch of
+    # the r5 retrain fires hundreds of letterbox-pad lines through the
+    # torch export (data/pad_sweep_r5.log) — higher-F1 but unshippable
+    # under the gates.  Checkpoint speed deltas measured within session
+    # noise across three same-batch A/Bs (BENCH_HISTORY r4e/r5c/r5d), so
+    # benching the golden-gated artifact costs nothing real.
     ckpt = os.environ.get(
         "CTD_BENCH_CKPT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "flagship_r4.npz"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "flagship_r2.npz"),
     )
     if os.path.exists(ckpt):
         # trained-on-synthetic flagship checkpoint: realistic detection
