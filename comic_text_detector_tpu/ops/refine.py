@@ -57,12 +57,17 @@ _BIG = 2**30  # python int: module-level jnp arrays become committed captured co
 # kernel — its ~25-copy scoped-VMEM footprint (21 MB at 512x512) compiles
 # under a raised Mosaic vmem_limit_bytes (pallas_kernels._WINDOW_VMEM_LIMIT).
 BUCKETS = (
-    (256, 256, 8, 2048),
-    (256, 512, 6, 8192),  # wide-mid (real pages: most "wide" blocks are <512 wide)
-    (512, 256, 6, 8192),  # tall-mid (most vertical ja columns are <512 tall)
-    (256, 640, 4, 8192),  # wide blocks (horizontal titles/rows)
-    (640, 256, 4, 8192),  # tall blocks (vertical ja columns)
-    (512, 512, 3, 8192),  # big blocks; doubles as the resample fallback
+    # caps audit-sized in r5 (data/audit_component_caps_r5.log: worst real
+    # counts 128/183/324/1567/-/483, >=5x headroom kept) and flipped after
+    # the on-hardware bit-equality + timing A/B (scripts/cap_ab.py,
+    # data/cap_ab_r5.log: every bucket bit-equal, mid buckets -8..-19%,
+    # whole-page refine -6% example / -27% busy renderer page)
+    (256, 256, 8, 1024),
+    (256, 512, 6, 2048),  # wide-mid (real pages: most "wide" blocks are <512 wide)
+    (512, 256, 6, 2048),  # tall-mid (most vertical ja columns are <512 tall)
+    (256, 640, 4, 8192),  # wide blocks (worst audited count 1567: cap stays)
+    (640, 256, 4, 8192),  # tall blocks (never audited: cap stays)
+    (512, 512, 3, 4096),  # big blocks; doubles as the resample fallback
 )
 
 # Sweep knob: scale every bucket's slots-per-dispatch (fewer, fatter
@@ -92,10 +97,12 @@ if _slots_mult > 1:
 # list matched to BUCKETS order.  Malformed values raise — a typo must not
 # silently benchmark the wrong configuration.
 _CAP_PRESETS = {
-    # (256x256, 256x512, 512x256, 256x640, 640x256, 512x512); audited
-    # worsts 128/183/324/1567/none/483 — 256x640 and the never-observed
-    # 640x256 keep the shipping 8192.
+    # (256x256, 256x512, 512x256, 256x640, 640x256, 512x512)
+    # 'audit' = the r5-audited reduced set (the shipping default since the
+    # r5 hardware gate); 'r4' = the pre-audit capacities, kept for rollback
+    # A/Bs.
     "audit": (1024, 2048, 2048, 8192, 8192, 4096),
+    "r4": (2048, 8192, 8192, 8192, 8192, 8192),
 }
 def _parse_caps(spec: str, n: int):
     """Parse a CTD_REFINE_CAPS value: preset name or comma list of n caps,
