@@ -35,7 +35,13 @@ def make_lr_schedule(hyp_train: Dict, nb: int):
 
     ``schedule_epochs`` (default: ``epochs``) pins the decay horizon when a
     long schedule runs as several shorter resumed processes (each chunk
-    caps ``epochs`` but the cosine must keep the full-run horizon)."""
+    caps ``epochs`` but the cosine must keep the full-run horizon).
+
+    ``warmup_steps`` overrides the reference warmup floor
+    ``max(3*nb, 700)`` (train.py:156).  The floor is sized for from-scratch
+    runs over thousands of steps; a short fine-tune (a few hundred steps)
+    never leaves it and effectively trains at ~0 LR — the round-5 1024px
+    fine-tune failure mode.  Explicit wins; 0 disables warmup entirely."""
     epochs = hyp_train.get("schedule_epochs", hyp_train["epochs"])
     lr0 = hyp_train["lr0"]
     lrf = hyp_train["lrf"]
@@ -43,7 +49,10 @@ def make_lr_schedule(hyp_train: Dict, nb: int):
         lf = lambda e: (1 - e / max(epochs - 1, 1)) * (1.0 - lrf) + lrf
     else:
         lf = lambda e: ((1 - jnp.cos(e * jnp.pi / epochs)) / 2) * (lrf - 1.0) + 1.0
-    nw = max(round(3 * nb), 700)
+    nw = hyp_train.get("warmup_steps")
+    if nw is None:
+        nw = max(round(3 * nb), 700)
+    nw = max(int(nw), 1)
 
     def schedule(step):
         epoch = step // max(nb, 1)

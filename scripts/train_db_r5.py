@@ -49,6 +49,9 @@ LR0 = float(os.environ.get("CTD_DB_LR0", "5e-4"))
 EVAL_INT = int(os.environ.get("CTD_DB_EVAL_INT", "2"))
 WARMSTART = os.environ.get("CTD_DB_WARMSTART", osp.join(ROOT, "data", "flagship_r4.npz"))
 KANA_FRAC = float(os.environ.get("CTD_DB_KANA_FRAC", "0.3"))
+# fine-tune runs (few hundred steps) must shrink the reference 700-step
+# warmup floor or they never leave warmup (round-5 post-mortem, TRAINLOG.md)
+WARMUP = os.environ.get("CTD_DB_WARMUP")
 
 
 def render_r5_dataset(work: str) -> None:
@@ -158,6 +161,7 @@ def main() -> None:
             "eval_interval": EVAL_INT,
             "accumulation_steps": 1,
             "loss": "bce",
+            **({"warmup_steps": int(WARMUP)} if WARMUP is not None else {}),
         },
         "model": {"act": "leaky"},
     }

@@ -273,3 +273,26 @@ def test_textless_page_dataset_and_batch():
     logits = jnp.full((1, 32, 32), 2.0)  # confident false positives
     out = losses.balance_bce_loss(logits, gt, mask)
     assert np.isfinite(float(out))
+
+
+def test_lr_schedule_warmup_override():
+    """warmup_steps must override the reference max(3*nb, 700) floor —
+    a short fine-tune (few hundred steps) otherwise never leaves warmup
+    and trains at ~0 LR (round-5 1024px fine-tune post-mortem)."""
+    from comic_text_detector_tpu.training.seg_trainer import make_lr_schedule
+
+    base = {"epochs": 10, "lr0": 1e-3, "lrf": 0.1}
+    nb = 100  # 3*nb=300 < 700 -> floor dominates by default
+
+    floor = make_lr_schedule(dict(base), nb)
+    # step 90 is still epoch 0 (no cosine decay yet): default floor has the
+    # LR at 90/700 of lr0
+    assert float(floor(90)) == pytest.approx(90 / 700 * 1e-3, rel=1e-5)
+
+    short = make_lr_schedule({**base, "warmup_steps": 50}, nb)
+    # fully warmed by step 50: LR == lr0 * cosine factor at epoch 0 == lr0
+    assert float(short(90)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(short(25)) == pytest.approx(0.5e-3, rel=1e-6)
+
+    off = make_lr_schedule({**base, "warmup_steps": 0}, nb)
+    assert float(off(1)) == pytest.approx(1e-3, rel=1e-6)
