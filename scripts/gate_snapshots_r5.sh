@@ -12,12 +12,13 @@ set -u
 cd "$(dirname "$0")/.."
 WORK=${1:-data/db_work_r5}
 LOG=${CTD_GATE_LOG:-data/gate_snapshots_r5.log}
+TRAINLOG=${CTD_TRAIN_LOG:-data/train_db_r5.log}
 : > "$LOG"
 for ctd in "$WORK"/db_last_ep*.ctd "$WORK"/db_best.ctd; do
   [ -f "$ctd" ] || continue
   name=$(basename "$ctd" .ctd)
   ep=$(python -c "import json;print(json.load(open('$ctd.meta.json')).get('epoch','?'))" 2>/dev/null || echo '?')
-  f1=$(grep -oP "^epoch ${ep}: .*F1 \K[0-9.]+" data/train_db_r5.log | tail -1)
+  f1=$(grep -oP "^epoch ${ep}: .*F1 \K[0-9.]+" "$TRAINLOG" | tail -1)
   out="/tmp/cand_${name}.npz"
   CTD_DB_OUT="$out" python scripts/assemble_flagship_r3.py "$ctd" >> "$LOG" 2>&1
   if python scripts/check_speck_hazard.py "$out" >> "$LOG" 2>&1; then
