@@ -272,6 +272,7 @@ def main() -> None:
             {
                 "metric": (
                     f"volume-stream pages/sec/chip @1024px (full pipeline, {kind}, "
+                    f"ckpt={os.path.basename(ckpt) if os.path.exists(ckpt) else 'random'}, "
                     f"B={bsz}, {'bf16' if half else 'f32'}, "
                     f"{jax.devices()[0].device_kind}; "
                     f"single-page p50 {p50_ms:.0f} ms; "
